@@ -131,9 +131,9 @@ def base_encoding_table(kind: str) -> dict[int, str]:
     return table
 
 
-# Helvetica AFM advance widths (1000-unit em) for ASCII 32..126 — used as the
-# width fallback for non-embedded standard-14 fonts so line-gap → word-space
-# decisions stay sane (public Adobe AFM data).
+# Standard-14 AFM advance widths (1000-unit em) for ASCII 32..126 — width
+# fallback for non-embedded base fonts so line-gap → word-space and column
+# gutter decisions stay accurate (public Adobe AFM data).
 HELVETICA_WIDTHS = [
     278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
     278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
@@ -144,11 +144,46 @@ HELVETICA_WIDTHS = [
     278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
 ]
 
+HELVETICA_BOLD_WIDTHS = [
+    278, 333, 474, 556, 556, 889, 722, 238, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 333, 333,
+    584, 584, 584, 611, 975, 722, 722, 722, 722, 667, 611, 778, 722, 278,
+    556, 722, 611, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 333, 278, 333, 584, 556, 333, 556, 611, 556, 611, 556,
+    333, 611, 611, 278, 278, 556, 278, 889, 611, 611, 611, 611, 389, 556,
+    333, 611, 556, 778, 556, 556, 500, 389, 280, 389, 584,
+]
+
+TIMES_ROMAN_WIDTHS = [
+    250, 333, 408, 500, 500, 833, 778, 180, 333, 333, 500, 564, 250, 333,
+    250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500, 278, 278,
+    564, 564, 564, 444, 921, 722, 667, 667, 722, 611, 556, 722, 722, 333,
+    389, 722, 611, 889, 722, 722, 556, 722, 667, 556, 611, 722, 722, 944,
+    722, 722, 611, 333, 278, 333, 469, 500, 333, 444, 500, 444, 500, 444,
+    333, 500, 500, 278, 278, 500, 278, 778, 500, 500, 500, 500, 333, 389,
+    278, 500, 500, 722, 500, 500, 444, 480, 200, 480, 541,
+]
+
+TIMES_BOLD_WIDTHS = [
+    250, 333, 555, 500, 500, 1000, 833, 278, 333, 333, 500, 570, 250, 333,
+    250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500, 333, 333,
+    570, 570, 570, 500, 930, 722, 667, 722, 722, 667, 611, 778, 778, 389,
+    500, 778, 667, 944, 722, 778, 611, 778, 722, 556, 667, 722, 722, 1000,
+    722, 722, 667, 333, 278, 333, 581, 500, 333, 500, 556, 444, 556, 444,
+    333, 500, 556, 278, 333, 556, 278, 833, 556, 500, 556, 556, 444, 389,
+    333, 556, 500, 722, 500, 500, 444, 394, 220, 394, 520,
+]
+
 
 def default_width_for(code: int, basefont: str) -> float:
     bf = (basefont or "").lower()
     if "courier" in bf or "mono" in bf:
         return 600.0
+    bold = "bold" in bf
+    if "times" in bf or "roman" in bf or "serif" in bf or "georgia" in bf:
+        table = TIMES_BOLD_WIDTHS if bold else TIMES_ROMAN_WIDTHS
+    else:
+        table = HELVETICA_BOLD_WIDTHS if bold else HELVETICA_WIDTHS
     if 32 <= code <= 126:
-        return float(HELVETICA_WIDTHS[code - 32])
+        return float(table[code - 32])
     return 500.0

@@ -1,0 +1,167 @@
+"""Config-driven text rules: normalize (F1), repair (F2), join/eof (W3).
+
+Functionally equivalent to the reference's JSON rule engine
+(Config.java:95-145 loads per-language rule lists; Common.replaceText
+Common.java:529-542 applies ordered regex search/replace; rule-based line
+join at PDFExtract.java:919-999). Re-expressed as plain Python data +
+vectorized pandas application; the default ruleset reproduces the
+documented semantics of the reference's shipped config (PDFExtract.json:
+ligature fold, smart-quote fold, ellipsis/dash fold, NBSP strip; join rules
+for trailing commas / hyphen-split words / lowercase continuations;
+absolute-EOF sentence boundaries).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+# Default ruleset, "common" language (applies to all docs before langid and
+# again per-language after). Semantics per reference PDFExtract.json:11-44.
+DEFAULT_CONFIG: dict = {
+    "languages": {
+        "common": {
+            # ordered [pattern, replacement]
+            "normalize": [
+                ["ﬀ", "ff"],
+                ["ﬁ\\s?", "fi"],
+                ["ﬂ\\s?", "fl"],
+                ["ﬃ", "ffi"],
+                ["ﬄ", "ffl"],
+                ["ﬅ", "ft"],
+                ["ﬆ", "st"],
+                ["[“”]", "\""],
+                ["[’´]", "'"],
+                ["…", "..."],
+                ["–", "-"],
+                ["­", ""],       # soft hyphen
+                [" ", " "],      # NBSP → space
+            ],
+            # ordered [front_regex, back_regex, join_char]; first match wins
+            "join_words": [
+                [".*[\\,\\&\\;\\:]$", "", " "],
+                [".*[a-z]+\\-$", "^[a-z]+.*", ""],
+                [".*[a-z]{1,}$", "^[a-z]+.*", " "],
+                [".*[\\,\\;\\s][A-Z]{1,1}$", "", " "],
+                [".*\\s(to|for|at|by)$", "", " "],
+            ],
+            # [front_regex, back_regex] — hard sentence boundary, never join
+            "absolute_eof": [
+                # Java's variable-width lookbehind split into two fixed-width
+                # Python lookbehinds (same semantics: line does not end with
+                # , & ; : nor with space+single-capital)
+                [".*(?<![\\,\\&\\;\\:])(?<![\\s][A-Z])$", "^[0-9 ]{0,}[A-Z]+.*"],
+                [".*(\\?\\\"?|\\!\\\"?)$", ""],
+                [".*\\w\\.$", ""],
+                ["", "^[•]+.*"],
+            ],
+            # final punctuation repair after all joins
+            "repair": [
+                ["\\s(\\,|\\)|\\]|\\;)", "\\1"],
+                ["(\\(|\\[)\\s", "\\1"],
+                ["([^\\.])\\s(\\.)", "\\1\\2"],
+            ],
+        }
+    }
+}
+
+
+@dataclass
+class LangRules:
+    normalize: list[tuple[re.Pattern, str]] = field(default_factory=list)
+    join_words: list[tuple[re.Pattern, re.Pattern | None, str]] = field(default_factory=list)
+    absolute_eof: list[tuple[re.Pattern | None, re.Pattern | None]] = field(default_factory=list)
+    repair: list[tuple[re.Pattern, str]] = field(default_factory=list)
+
+
+class RuleSet:
+    """Compiled rules, keyed by language ('common' + per-language overrides).
+
+    Broadcast once per job; applied inside Arrow-batched UDFs
+    (SURVEY.md §2.8 — config parsed on the driver, broadcast to UDFs).
+    """
+
+    def __init__(self, config: dict | None = None):
+        cfg = config or DEFAULT_CONFIG
+        self.langs: dict[str, LangRules] = {}
+        for lang, rules in cfg.get("languages", {}).items():
+            lr = LangRules()
+            for pat, rep in rules.get("normalize", []):
+                lr.normalize.append((re.compile(pat), rep))
+            for front, back, ch in rules.get("join_words", []):
+                lr.join_words.append(
+                    (re.compile(front), re.compile(back) if back else None, ch)
+                )
+            for front, back in rules.get("absolute_eof", []):
+                lr.absolute_eof.append(
+                    (re.compile(front) if front else None,
+                     re.compile(back) if back else None)
+                )
+            for pat, rep in rules.get("repair", []):
+                lr.repair.append((re.compile(pat), rep))
+            self.langs[lang] = lr
+
+    @classmethod
+    def from_json(cls, path: str) -> "RuleSet":
+        with open(path) as fh:
+            return cls(json.load(fh))
+
+    def for_lang(self, lang: str | None) -> list[LangRules]:
+        """Rule chains to apply: common first, then the language's own."""
+        out = [self.langs["common"]] if "common" in self.langs else []
+        if lang and lang in self.langs and lang != "common":
+            out.append(self.langs[lang])
+        return out
+
+    # -- application ---------------------------------------------------------
+    def normalize_series(self, texts, lang: str | None = None):
+        """Vectorized ordered normalize over a pandas Series of strings."""
+        for lr in self.for_lang(lang):
+            for pat, rep in lr.normalize:
+                texts = texts.str.replace(pat, rep, regex=True)
+        return texts
+
+    def repair_series(self, texts, lang: str | None = None):
+        for lr in self.for_lang(lang):
+            for pat, rep in lr.repair:
+                texts = texts.str.replace(pat, rep, regex=True)
+        return texts
+
+    def normalize_str(self, text: str, lang: str | None = None) -> str:
+        for lr in self.for_lang(lang):
+            for pat, rep in lr.normalize:
+                text = pat.sub(rep, text)
+        return text
+
+    def repair_str(self, text: str, lang: str | None = None) -> str:
+        for lr in self.for_lang(lang):
+            for pat, rep in lr.repair:
+                text = pat.sub(rep, text)
+        return text
+
+    def is_absolute_eof(self, cur: str, nxt: str, lang: str | None = None) -> bool:
+        """True → hard sentence boundary between cur and nxt (never join).
+        Reference: absolute_eof front/back pair check PDFExtract.java:941-956."""
+        for lr in self.for_lang(lang):
+            for front, back in lr.absolute_eof:
+                if front is not None and not front.match(cur):
+                    continue
+                if back is not None and back.pattern and not back.match(nxt):
+                    continue
+                if front is None and (back is None or not back.pattern):
+                    continue
+                return True
+        return False
+
+    def join_char(self, cur: str, nxt: str, lang: str | None = None) -> str | None:
+        """First matching join rule's join char, else None (no join).
+        Reference: first-match-wins cascade PDFExtract.java:969-989."""
+        for lr in self.for_lang(lang):
+            for front, back, ch in lr.join_words:
+                if not front.match(cur):
+                    continue
+                if back is not None and back.pattern and not back.match(nxt):
+                    continue
+                return ch
+        return None

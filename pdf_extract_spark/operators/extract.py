@@ -1,0 +1,216 @@
+"""Per-document extraction: PDF bytes → ordered output spans.
+
+This is the function the Arrow-batched pipeline UDF applies to each
+document row. Stage order mirrors the reference lifecycle
+(PDFExtract.java:209-333: convert → parse → repairAndAdjustment →
+languageId → sentenceJoin → finalRepair → generateOutput), re-expressed
+over in-memory structures:
+
+  parse (sources/pdfparse) → interpret (functions/textops) →
+  W5 XY-cut blocks → W1 line merge → P3/P4 filters → A4 boilerplate →
+  F1 normalize → W2 paragraphs → A3 langid → W3 rule joins → F2 repair →
+  span assembly (text lines in reading order, media refs interleaved).
+
+Vectorization note: the per-doc passes are sequential over at most a few
+hundred lines; pandas is used only for the doc-level regex chains
+(normalize/repair over one Series per document).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..functions import langid
+from ..functions.textops import interpret_page
+from ..functions.textrules import RuleSet
+from ..sources.pdfparse import PDFDocument, PDFParseError
+from . import layout
+from .layout import Line
+
+
+@dataclass
+class DocResult:
+    spans: list[tuple[str, str, str, int]] = field(default_factory=list)  # kind,text,media_ref,offset
+    lang: str = ""
+    lang_dist: list[tuple[str, float, int]] = field(default_factory=list)  # lang,percent,rows
+    warnings: list[tuple[str, str, str]] = field(default_factory=list)  # method,detail,suggestion
+    error: str | None = None
+    n_pages: int = 0
+    n_lines: int = 0
+    n_media: int = 0
+
+
+_DEFAULT_RULES = RuleSet()
+
+
+def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
+                max_pages: int | None = None) -> DocResult:
+    """Extract one PDF into ordered (kind, text, media_ref) spans."""
+    rules = rules or _DEFAULT_RULES
+    res = DocResult()
+    try:
+        doc = PDFDocument(pdf_bytes, max_pages=max_pages)
+        pages = doc.pages()
+    except (PDFParseError, RecursionError, MemoryError, ValueError) as exc:
+        res.error = f"parse: {exc}"
+        return res
+    if not pages:
+        res.error = "parse: no pages"
+        return res
+    res.n_pages = len(pages)
+
+    font_cache: dict = {}
+    lines: list[Line] = []
+    media: list = []
+    page_heights: dict[int, float] = {}
+    for p in pages:
+        page_heights[p.pageno] = p.height
+        try:
+            runs, medias = interpret_page(
+                doc, p.pageno, p.content, p.resources,
+                (0.0, 0.0, p.width, p.height), p.rotate, font_cache,
+            )
+        except (RecursionError, MemoryError, ValueError, zlib.error) as exc:
+            res.warnings.append(("interpret", f"page {p.pageno}: {exc}", "page skipped"))
+            continue
+        media.extend(medias)
+        runs = [r for r in runs if r.text.strip()]
+        if not runs:
+            continue
+        # W5 first, on runs: XY-cut blocks so the W1 merge cannot bridge a
+        # column gutter (< its 200 px gap bound)
+        nr = len(runs)
+        left = np.fromiter((r.left for r in runs), dtype=np.float64, count=nr)
+        width = np.fromiter((r.width for r in runs), dtype=np.float64, count=nr)
+        top = np.fromiter((r.top for r in runs), dtype=np.float64, count=nr)
+        height = np.fromiter((r.height for r in runs), dtype=np.float64, count=nr)
+        page_lines: list[Line] = []
+        for bi, leaf in enumerate(
+            layout.xy_cut_leaves(left, left + width, top, top + height)
+        ):
+            page_lines.extend(
+                layout.runs_to_lines([runs[k] for k in leaf], p.pageno, bi)
+            )
+        lines.extend(layout.filter_offpage(page_lines, p.width, p.height))
+
+    # A4 boilerplate strip (doc-level frequency over page edge bands)
+    if lines:
+        drop = layout.boilerplate_indices(lines, page_heights)
+        if drop:
+            lines = [ln for i, ln in enumerate(lines) if i not in drop]
+
+    # F1 normalize (common rules) — one vectorized regex chain per document
+    if lines:
+        texts = rules.normalize_series(pd.Series([ln.text for ln in lines]))
+        kept: list[Line] = []
+        for ln, t in zip(lines, texts):
+            t = t.strip()
+            if t:
+                ln.text = t
+                kept.append(ln)
+        lines = kept
+
+    # W2 paragraph segmentation per page (lines are already in reading order)
+    if lines:
+        pid = 0
+        start = 0
+        for i in range(1, len(lines) + 1):
+            if i == len(lines) or lines[i].pageno != lines[start].pageno:
+                pid = layout.segment_paragraphs(lines[start:i], pid)
+                start = i
+
+    # A3 language id per line (gated), doc majority + distribution
+    if lines:
+        counts: dict[str, int] = {}
+        for ln in lines:
+            ln.lang = langid.detect_reliable(ln.text) or ""
+            if ln.lang:
+                counts[ln.lang] = counts.get(ln.lang, 0) + 1
+        if counts:
+            total = sum(counts.values())
+            ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            res.lang = ordered[0][0]
+            res.lang_dist = [
+                (l, c * 100.0 / total, c) for l, c in ordered
+            ]
+        for ln in lines:
+            if not ln.lang:
+                ln.lang = res.lang
+
+    # W3 rule-based join within paragraphs (cascading, first-match-wins)
+    if lines:
+        lines = _join_lines(lines, rules)
+
+    # F2 final repair — vectorized chain; per-language on top of common
+    if lines:
+        texts = rules.repair_series(pd.Series([ln.text for ln in lines]))
+        for ln, t in zip(lines, texts):
+            ln.text = t
+
+    res.n_lines = len(lines)
+    res.n_media = len(media)
+    res.spans = _assemble_spans(lines, media)
+    return res
+
+
+def _join_lines(lines: list[Line], rules: RuleSet) -> list[Line]:
+    """W3: cascade-join consecutive lines inside a paragraph
+    (PDFExtract.java:919-999 — absolute_eof blocks, first join rule wins,
+    joined line re-compared to its new successor)."""
+    out: list[Line] = []
+    start = 0
+    n = len(lines)
+    for i in range(1, n + 1):
+        if i < n and lines[i].pageno == lines[start].pageno and lines[i].para == lines[start].para:
+            continue
+        # paragraph group [start, i)
+        grp = lines[start:i]
+        k = 0
+        while k < len(grp) - 1:
+            cur, nxt = grp[k], grp[k + 1]
+            lang = cur.lang if cur.lang == nxt.lang else None
+            if rules.is_absolute_eof(cur.text, nxt.text, lang):
+                k += 1
+                continue
+            ch = rules.join_char(cur.text, nxt.text, lang)
+            if ch is None:
+                k += 1
+                continue
+            if ch == "" and cur.text.endswith("-"):
+                cur.text = cur.text[:-1] + nxt.text  # hyphen-split word
+            else:
+                cur.text = cur.text + ch + nxt.text
+            cur.right = max(cur.right, nxt.right)
+            cur.bottom = max(cur.bottom, nxt.bottom)
+            del grp[k + 1]
+        out.extend(grp)
+        start = i
+    return out
+
+
+def _assemble_spans(lines: list[Line], media: list) -> list[tuple[str, str, str, int]]:
+    """O1: interleave text lines (reading order) and media refs (by page
+    position) into the ordered output span sequence."""
+    spans: list[tuple[str, str, str]] = []
+    media_by_page: dict[int, list] = {}
+    for m in sorted(media, key=lambda m: (m.pageno, m.top, m.left)):
+        media_by_page.setdefault(m.pageno, []).append(m)
+
+    pages = sorted({ln.pageno for ln in lines} | set(media_by_page.keys()))
+    for pageno in pages:
+        pl = [ln for ln in lines if ln.pageno == pageno]
+        pm = media_by_page.get(pageno, [])
+        mi = 0
+        for ln in pl:
+            while mi < len(pm) and pm[mi].top < ln.top:
+                spans.append(("media", "", pm[mi].ref))
+                mi += 1
+            spans.append(("text", ln.text, ""))
+        while mi < len(pm):
+            spans.append(("media", "", pm[mi].ref))
+            mi += 1
+    return [(k, t, m, i) for i, (k, t, m) in enumerate(spans)]
