@@ -1,0 +1,311 @@
+"""End-to-end Spark extraction job over interleaved-document tables.
+
+Input/output table shape (BASELINE.json input_hint):
+    doc_id: string
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+``kind='pdf'`` spans carry base64 PDF bytes in ``text`` (or a ``file://``
+pointer in ``media_ref``); ``kind='text'`` spans pass through
+normalize/repair; ``kind='media'`` spans pass through in order.
+
+Scale design (north rule: 10^12 docs, explicit partitioning/skew):
+  * All per-document compute runs inside ONE ``mapInPandas`` pass — a
+    narrow transformation with ZERO shuffles on the extraction path. Docs
+    parallelize across partitions; Catalyst prunes the two input columns.
+  * Skew: the reference measured a 23× latency spread between its smallest
+    and largest fixture (BASELINE.md). We split the input into a small-doc
+    lane (hash-partitioned on doc_id) and a big-doc lane (round-robin so
+    each oversized PDF lands alone), then union — no global sort, no
+    driver-side size census. ``arrow.maxRecordsPerBatch`` bounds batch
+    memory so one giant doc can't OOM an Arrow batch.
+  * Resume: output snapshot + per-partition lineage rows; a resumed run
+    left-anti-joins the input against the committed output's doc_ids —
+    a broadcast-able join at per-run failure scales.
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("lang", StringType()),
+        StructField(
+            "lang_dist",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("lang", StringType()),
+                        StructField("percent", DoubleType()),
+                        StructField("rows", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "warnings",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("method", StringType()),
+                        StructField("detail", StringType()),
+                        StructField("suggestion", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("error", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_lines", IntegerType()),
+        StructField("n_media", IntegerType()),
+        StructField("extract_ms", LongType()),
+    ]
+)
+
+# Docs whose pdf payload exceeds this many base64 chars go to the big-doc
+# lane (~1.5 MB of PDF ≈ the reference's skew threshold territory).
+BIG_DOC_B64_CHARS = 2_000_000
+
+_RULESET_CACHE: dict[int, Any] = {}
+
+
+def _get_ruleset(config: dict | None):
+    """Compile the broadcast rule config once per executor process."""
+    from ..functions.textrules import RuleSet
+
+    key = id(config) if config is not None else 0
+    rs = _RULESET_CACHE.get(key)
+    if rs is None:
+        rs = RuleSet(config)
+        _RULESET_CACHE[key] = rs
+    return rs
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], config: dict | None, max_pages: int | None
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one output row per input document."""
+    from ..operators.extract import extract_pdf
+
+    rules = _get_ruleset(config)
+    for pdf_batch in batches:
+        out_rows = []
+        for doc_id, spans in zip(pdf_batch["doc_id"], pdf_batch["spans"]):
+            t0 = time.monotonic()
+            row = _extract_one(str(doc_id), spans, rules, max_pages, extract_pdf)
+            row["extract_ms"] = int((time.monotonic() - t0) * 1000)
+            out_rows.append(row)
+        yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf) -> dict:
+    out_spans: list[dict] = []
+    lang = ""
+    lang_dist: list[dict] = []
+    warnings: list[dict] = []
+    error = None
+    n_pages = n_lines = n_media = 0
+
+    items = sorted(spans if spans is not None else [], key=lambda s: s["offset"])
+    for span in items:
+        kind = span["kind"]
+        if kind == "pdf":
+            pdf_bytes = _pdf_payload(span)
+            if pdf_bytes is None:
+                error = "pdf: missing payload"
+                warnings.append(
+                    {"method": "payload", "detail": "no base64/text payload",
+                     "suggestion": "provide base64 body in text"}
+                )
+                continue
+            res = extract_pdf(pdf_bytes, rules, max_pages=max_pages)
+            n_pages += res.n_pages
+            n_lines += res.n_lines
+            n_media += res.n_media
+            if res.error:
+                error = res.error
+            if res.lang and not lang:
+                lang = res.lang
+                lang_dist = [
+                    {"lang": l, "percent": float(p), "rows": int(c)}
+                    for l, p, c in res.lang_dist
+                ]
+            warnings.extend(
+                {"method": m, "detail": d, "suggestion": s}
+                for m, d, s in res.warnings
+            )
+            out_spans.extend(
+                {"kind": k, "text": t, "media_ref": m} for k, t, m, _ in res.spans
+            )
+        elif kind == "text":
+            from ..operators.layout import _collapse_ws
+
+            txt = rules.repair_str(rules.normalize_str(_collapse_ws(span["text"] or "")))
+            if txt.strip():
+                out_spans.append({"kind": "text", "text": txt.strip(), "media_ref": ""})
+        elif kind == "media":
+            out_spans.append(
+                {"kind": "media", "text": "", "media_ref": span["media_ref"] or ""}
+            )
+    for i, s in enumerate(out_spans):
+        s["offset"] = i
+    return dict(
+        doc_id=doc_id,
+        spans=out_spans,
+        lang=lang,
+        lang_dist=lang_dist,
+        warnings=warnings,
+        error=error,
+        n_pages=n_pages,
+        n_lines=n_lines,
+        n_media=n_media,
+        extract_ms=0,
+    )
+
+
+def _pdf_payload(span) -> bytes | None:
+    txt = span.get("text") if hasattr(span, "get") else span["text"]
+    if txt:
+        try:
+            return base64.b64decode(txt, validate=False)
+        except (ValueError, TypeError):
+            return None
+    ref = span.get("media_ref") if hasattr(span, "get") else span["media_ref"]
+    if ref and ref.startswith("file://"):
+        try:
+            with open(ref[7:], "rb") as fh:
+                return fh.read()
+        except OSError:
+            return None
+    return None
+
+
+def extract_spans(
+    df: DataFrame,
+    config: dict | None = None,
+    max_pages: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The extraction operator: (doc_id, spans) → OUTPUT_SCHEMA.
+
+    Zero-shuffle narrow map when ``num_partitions`` is None; with it, the
+    two-lane skew split described in the module docstring."""
+    spark = df.sparkSession
+    df = df.select("doc_id", "spans")  # column pruning before the UDF
+
+    def run(d: DataFrame) -> DataFrame:
+        return d.mapInPandas(
+            lambda it: _extract_batches(it, config, max_pages),
+            schema=OUTPUT_SCHEMA,
+        )
+
+    if num_partitions is None:
+        return run(df)
+
+    # two-lane skew split: oversized pdf payloads get one-doc partitions
+    size_col = F.aggregate(
+        "spans",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(s["kind"] == "pdf", F.length(F.coalesce(s["text"], F.lit("")))).otherwise(0),
+    )
+    sized = df.withColumn("_pdf_b64len", size_col)
+    small = (
+        sized.filter(F.col("_pdf_b64len") < BIG_DOC_B64_CHARS)
+        .repartition(num_partitions, "doc_id")
+        .drop("_pdf_b64len")
+    )
+    big = (
+        sized.filter(F.col("_pdf_b64len") >= BIG_DOC_B64_CHARS)
+        .repartition(max(num_partitions // 4, 1))  # round-robin, ~1 doc each
+        .drop("_pdf_b64len")
+    )
+    return run(small).unionByName(run(big))
+
+
+LINEAGE_SCHEMA = [
+    "run_id", "partition_id", "doc_ids_min", "doc_ids_max",
+    "n_docs", "n_ok", "n_err", "wall_ms",
+]
+
+
+def lineage_frame(out: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rows (FIXTURES.md §4): the resume surface."""
+    return (
+        out.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.min("doc_id").alias("doc_ids_min"),
+            F.max("doc_id").alias("doc_ids_max"),
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("error").isNull(), 1)).alias("n_ok"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("n_err"),
+            F.sum("extract_ms").alias("wall_ms"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_ref: str,
+    output_ref: str,
+    lineage_ref: str | None = None,
+    config: dict | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    max_pages: int | None = None,
+) -> dict:
+    """spark-submit entry: read → (resume anti-join) → extract → commit.
+
+    Returns a summary dict (docs in/out, run_id)."""
+    from ..sources.tableio import TableIO
+
+    io = TableIO(spark)
+    run_id = uuid.uuid4().hex
+    df = io.read(input_ref)
+    if resume and io.exists(output_ref):
+        done = io.read(output_ref).select("doc_id")
+        # committed doc_ids per run are small relative to input → broadcastable
+        df = df.join(F.broadcast(done), "doc_id", "left_anti")
+    out = extract_spans(df, config=config, max_pages=max_pages,
+                        num_partitions=num_partitions)
+    out = out.persist()
+    n_out = out.count()
+    io.write(out, output_ref, run_id=run_id, mode="append")
+    lin = lineage_frame(out, run_id)
+    io.write(lin, lineage_ref or output_ref.rstrip("/") + "_lineage",
+             run_id=run_id, mode="append")
+    out.unpersist()
+    return {"run_id": run_id, "n_docs": n_out}

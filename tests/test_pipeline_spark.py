@@ -1,0 +1,125 @@
+"""Spark integration tests: extraction pipeline (plans/pipeline)."""
+
+import base64
+
+import pytest
+
+from pdf_extract_spark.operators.extract import extract_pdf
+from pdf_extract_spark.plans import pipeline
+from pdf_extract_spark.sources.corpus import corpus_dataframe, make_doc, synth_pdf
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    return corpus_dataframe(spark, 12, use_fixtures=False, num_partitions=4).cache()
+
+
+class TestExtractSpans:
+    def test_output_schema_and_rows(self, spark, small_corpus):
+        out = pipeline.extract_spans(small_corpus)
+        rows = out.collect()
+        assert len(rows) == 12
+        assert set(out.columns) >= {
+            "doc_id", "spans", "lang", "lang_dist", "warnings", "error",
+            "n_pages", "n_lines", "n_media", "extract_ms",
+        }
+        assert all(r["error"] is None for r in rows)
+
+    def test_spans_match_direct_extraction(self, spark, small_corpus):
+        """Spark result == driver-side extract_pdf on the same payload."""
+        out = {r["doc_id"]: r for r in pipeline.extract_spans(small_corpus).collect()}
+        doc = make_doc(5, {})
+        direct = extract_pdf(
+            base64.b64decode(
+                next(s for s in doc["spans"] if s["kind"] == "pdf")["text"]
+            )
+        )
+        got = out["doc00000005"]
+        got_pdf_texts = [s["text"] for s in got["spans"] if s["kind"] == "text"
+                         and not s["text"].startswith(("Preamble", "Trailing"))]
+        want = [t for k, t, m, _ in direct.spans if k == "text"]
+        assert got_pdf_texts == want
+
+    def test_partitioning_invariance(self, spark):
+        """repartition(k) must not change any document's spans (determinism
+        across partitionings — required for the scaling claim)."""
+        a = pipeline.extract_spans(
+            corpus_dataframe(spark, 10, use_fixtures=False, num_partitions=1)
+        ).collect()
+        b = pipeline.extract_spans(
+            corpus_dataframe(spark, 10, use_fixtures=False, num_partitions=5)
+        ).collect()
+        am = {r["doc_id"]: r["spans"] for r in a}
+        bm = {r["doc_id"]: r["spans"] for r in b}
+        assert am == bm
+
+    def test_passthrough_spans(self, spark):
+        rows = [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "text", "text": "Note  with   spaces ,ok", "media_ref": "", "offset": 0},
+                    {"kind": "media", "text": "", "media_ref": "img://x/1", "offset": 1},
+                    {"kind": "pdf", "text": base64.b64encode(synth_pdf(1)).decode(), "media_ref": "", "offset": 2},
+                ],
+            }
+        ]
+        df = spark.createDataFrame(rows, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        out = pipeline.extract_spans(df).collect()[0]
+        kinds = [s["kind"] for s in out["spans"]]
+        assert kinds[0] == "text" and kinds[1] == "media"
+        # whitespace collapsed (P2) + space-before-comma repaired (F2);
+        # the reference does not insert a space after the comma
+        assert out["spans"][0]["text"] == "Note with spaces,ok"
+        offsets = [s["offset"] for s in out["spans"]]
+        assert offsets == list(range(len(offsets)))
+
+    def test_error_doc_does_not_kill_batch(self, spark):
+        rows = [
+            {"doc_id": "bad", "spans": [
+                {"kind": "pdf", "text": base64.b64encode(b"garbage").decode(), "media_ref": "", "offset": 0}]},
+            {"doc_id": "good", "spans": [
+                {"kind": "pdf", "text": base64.b64encode(synth_pdf(3)).decode(), "media_ref": "", "offset": 0}]},
+        ]
+        df = spark.createDataFrame(rows, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+        out = {r["doc_id"]: r for r in pipeline.extract_spans(df).collect()}
+        assert out["bad"]["error"] is not None
+        assert out["good"]["error"] is None
+        assert len(out["good"]["spans"]) > 0
+
+    def test_skew_lane_split(self, spark, small_corpus):
+        """num_partitions triggers the two-lane plan; results unchanged."""
+        plain = {r["doc_id"]: r["spans"]
+                 for r in pipeline.extract_spans(small_corpus).collect()}
+        laned = {r["doc_id"]: r["spans"]
+                 for r in pipeline.extract_spans(small_corpus, num_partitions=4).collect()}
+        assert plain == laned
+
+
+class TestPipelineRun:
+    def test_run_and_resume(self, spark, tmp_path):
+        inp = str(tmp_path / "in")
+        outp = str(tmp_path / "out")
+        corpus_dataframe(spark, 8, use_fixtures=False).write.parquet(inp)
+        r1 = pipeline.run_pipeline(spark, inp, outp)
+        assert r1["n_docs"] == 8
+        # resume: everything committed → no new docs
+        r2 = pipeline.run_pipeline(spark, inp, outp, resume=True)
+        assert r2["n_docs"] == 0
+        out = spark.read.parquet(outp)
+        assert out.count() == 8
+        lin = spark.read.parquet(outp + "_lineage")
+        rows = lin.collect()
+        assert sum(r["n_docs"] for r in rows if r["run_id"] == r1["run_id"]) == 8
+        assert all(r["n_err"] == 0 for r in rows)
+
+    def test_lineage_columns(self, spark, tmp_path):
+        inp = str(tmp_path / "in2")
+        outp = str(tmp_path / "out2")
+        corpus_dataframe(spark, 4, use_fixtures=False).write.parquet(inp)
+        pipeline.run_pipeline(spark, inp, outp)
+        lin = spark.read.parquet(outp + "_lineage")
+        assert set(lin.columns) >= {
+            "run_id", "partition_id", "doc_ids_min", "doc_ids_max",
+            "n_docs", "n_ok", "n_err", "wall_ms", "committed_at",
+        }
