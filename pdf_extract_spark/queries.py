@@ -1,0 +1,421 @@
+"""Driver-contract query registry: every SQL-expressible operator from
+SURVEY.md §2 plus the training-data-pipeline extensions, each as a
+(spark_fn, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Grouping (SURVEY.md §2 ids in parens):
+
+  relational core on the TPC-H-ish tables
+    filter_project       (P3/P4)  predicate + projection, pushdown-able
+    broadcast_dim_join   (P5)     fact ⋈ broadcast dim + exact-cents agg
+    modal_group          (A1/A2)  per-group argmax frequency ("mode")
+    lang_mode_dist       (A3)     distribution with percent over window
+    boilerplate_tokens   (A4)     tokens recurring in ≥30% of docs
+    session_window       (W2)     gap-based segmentation via lag + cumsum
+    run_length           (W1)     consecutive-run merge via change-flag
+    topk_revenue         (sorts)  deterministic top-k with rank window
+    distinct_agg                  count-distinct aggregate
+
+  training-data pipeline (operators/dedup.py, similarity.py,
+  functions/textstats.py docstrings carry the scale design)
+    dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
+    dedup_simhash, dedup_embedding_cosine, simhash_fingerprints,
+    ann_bruteforce_topk, ann_ivf_topk,
+    text_token_stats, text_quality, text_langid, text_fingerprint
+
+  non-SQL-expressible (rows-only check; no oracle)
+    extract_spans_synth  the flagship PDF→span pipeline on a deterministic
+                         synthetic interleaved corpus (golden-tested
+                         separately against the reference fixtures)
+
+Column names are aliased identically on both sides — the driver hash
+compares values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import textstats
+from .operators import dedup, similarity
+
+BOILER_DOC_FRAC = 0.30
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+TOPK_USERS = 10
+
+#: timezone-proof event time in microseconds: wall-clock delta from a fixed
+#: anchor (events are TIMESTAMP_NTZ; epoch conversions would drag in the
+#: session timezone and break the cross-engine value hash)
+_US_SPARK = ("timestampdiff(MICROSECOND, "
+             "timestamp_ntz'2024-01-01 00:00:00', ts)")
+_US_DUCK = "date_diff('microseconds', timestamp '2024-01-01', ts)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 analogue: scan-level predicate + column pruning. The filter
+    and the 4-column ReadSchema both reach the parquet scan (verified via
+    explain in tests)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_discount") <= 0.02))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+FILTER_PROJECT_SQL = """
+    select l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    from lineitem
+    where l_quantity >= 45 and l_discount <= 0.02
+"""
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 analogue: fact ⋈ small dim with an explicit broadcast hint — no
+    shuffle of the fact side. Money math in exact integer cents (doubles
+    summed in arbitrary partition order would not cross-check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+BROADCAST_DIM_JOIN_SQL = """
+    select p_brand,
+           cast(count(*) as bigint) as n_items,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                         as bigint)) as bigint) as revenue_cents
+    from lineitem join part on l_partkey = p_partkey
+    group by p_brand
+"""
+
+
+def modal_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 analogue: per-source modal n_chars bucket — sort-free argmax
+    (count desc, bucket asc tie-break), the reference's getMaxCount
+    semantics (PDFExtract.java:1509-1526) as a rank window."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.expr("n_chars DIV 50")
+    )
+    counts = docs.groupBy("source", "bucket").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("bucket").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("bucket").alias("modal_bucket"), "cnt")
+    )
+
+
+MODAL_GROUP_SQL = """
+    with c as (
+        select source, (n_chars // 50) as bucket,
+               cast(count(*) as bigint) as cnt
+        from documents group by 1, 2
+    )
+    select source, bucket as modal_bucket, cnt from (
+        select source, bucket, cnt,
+               row_number() over (partition by source
+                                  order by cnt desc, bucket asc) as rn
+        from c
+    ) where rn = 1
+"""
+
+
+def lang_mode_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: language distribution with percent = n*100/total (getLangList,
+    PDFExtract.java:1636-1666) via an unpartitioned window sum."""
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "lang", "n_rows",
+        F.round(F.col("n_rows") * 100.0 / F.sum("n_rows").over(total), 6)
+        .alias("percent"),
+    )
+
+
+LANG_MODE_DIST_SQL = """
+    with c as (
+        select lang, cast(count(*) as bigint) as n_rows
+        from documents group by 1
+    )
+    select lang, n_rows,
+           round(n_rows * 100.0 / (sum(n_rows) over ()), 6) as percent
+    from c
+"""
+
+
+def boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: frequency boilerplate — tokens present in ≥30% of documents
+    (the SQL-checkable form of the per-doc repeated-line strip in
+    operators/layout.py boilerplate_indices)."""
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.count()  # tiny driver-side scalar, embedded as literal
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_DOC_FRAC * total)
+    )
+
+
+BOILERPLATE_TOKENS_SQL = f"""
+    with tok as (
+        select distinct doc_id, t.token
+        from documents, unnest(string_split(text, ' ')) as t(token)
+        where t.token <> ''
+    )
+    select token, cast(count(*) as bigint) as n_docs
+    from tok group by token
+    having count(*) >= {BOILER_DOC_FRAC} * (select count(*) from documents)
+"""
+
+
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 analogue: gap-based segmentation — lag() marks a break, a
+    running sum turns breaks into segment ids (exactly the paragraph-
+    marker cumsum of SURVEY.md §2.5 W2). Microsecond integers only, so
+    the oracle cross-checks exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(_US_SPARK).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "brk",
+            (F.col("prev_us").isNull()
+             | (F.col("us") - F.col("prev_us") > SESSION_GAP_US)).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+    with ev as (
+        select user_id, event_id, {_US_DUCK} as us from events
+    ), marked as (
+        select user_id, event_id, us,
+               case when lag(us) over w is null
+                         or us - lag(us) over w > {SESSION_GAP_US}
+                    then 1 else 0 end as brk
+        from ev
+        window w as (partition by user_id order by us, event_id)
+    ), sess as (
+        select user_id, us,
+               cast(sum(brk) over (partition by user_id order by us, event_id
+                                   rows unbounded preceding) as bigint)
+                   as sess_id
+        from marked
+    )
+    select user_id, sess_id, cast(count(*) as bigint) as n_events,
+           max(us) - min(us) as duration_us
+    from sess group by user_id, sess_id
+"""
+
+
+def run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analogue: merge consecutive equal-key rows into runs via the
+    change-flag + cumsum trick (the Spark form of the reference's
+    same-row merge loop, PDFExtract.java:790-852)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.expr(_US_SPARK).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            (F.col("prev_type").isNull()
+             | (F.col("event_type") != F.col("prev_type"))).cast("int"),
+        )
+        .withColumn("run_id", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_runs"), F.max("run_len").alias("max_run_len")
+    )
+
+
+RUN_LENGTH_SQL = f"""
+    with ev as (
+        select user_id, event_id, event_type, {_US_DUCK} as us from events
+    ), marked as (
+        select user_id, event_type, us, event_id,
+               case when lag(event_type) over w is null
+                         or event_type <> lag(event_type) over w
+                    then 1 else 0 end as chg
+        from ev
+        window w as (partition by user_id order by us, event_id)
+    ), runs as (
+        select user_id,
+               sum(chg) over (partition by user_id order by us, event_id
+                              rows unbounded preceding) as run_id
+        from marked
+    ), per_run as (
+        select user_id, run_id, cast(count(*) as bigint) as run_len
+        from runs group by user_id, run_id
+    )
+    select user_id, cast(count(*) as bigint) as n_runs,
+           max(run_len) as max_run_len
+    from per_run group by user_id
+"""
+
+
+def topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k: rank window with explicit tie-break (value
+    cents desc, user_id asc) — not LIMIT, whose ties are nondeterministic."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .alias("total_cents")
+    )
+    w = Window.orderBy(F.col("total_cents").desc(), F.col("user_id").asc())
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK_USERS)
+    )
+
+
+TOPK_REVENUE_SQL = f"""
+    with totals as (
+        select user_id,
+               cast(sum(cast(round(value * 100) as bigint)) as bigint)
+                   as total_cents
+        from events group by user_id
+    )
+    select user_id, total_cents, rank from (
+        select user_id, total_cents,
+               cast(row_number() over (order by total_cents desc,
+                                       user_id asc) as int) as rank
+        from totals
+    ) where rank <= {TOPK_USERS}
+"""
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference, SURVEY.md §2.9 —
+    included for engine completeness)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+DISTINCT_AGG_SQL = """
+    select event_type, cast(count(*) as bigint) as n_events,
+           cast(count(distinct user_id) as bigint) as n_users
+    from events group by event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship extraction (non-SQL; rows-only check)
+# ---------------------------------------------------------------------------
+
+def extract_spans_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship operator: interleaved (doc_id, spans) corpus →
+    extracted spans. Synthetic deterministic corpus (sources/corpus.py);
+    golden fixture parity is covered by tests/test_golden.py."""
+    from .plans.pipeline import extract_spans
+    from .sources.corpus import corpus_dataframe
+
+    docs = corpus_dataframe(spark, 48, use_fixtures=True)
+    out = extract_spans(docs)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        "n_pages", "n_lines", "n_media", "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_project": filter_project,
+    "broadcast_dim_join": broadcast_dim_join,
+    "modal_group": modal_group,
+    "lang_mode_dist": lang_mode_dist,
+    "boilerplate_tokens": boilerplate_tokens,
+    "session_window": session_window,
+    "run_length": run_length,
+    "topk_revenue": topk_revenue,
+    "distinct_agg": distinct_agg,
+    "dedup_exact": dedup.exact_duplicates,
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_simhash": dedup.simhash_pairs,
+    "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+    "simhash_fingerprints": dedup.simhash_fingerprints,
+    "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
+    "text_token_stats": textstats.token_stats,
+    "text_quality": textstats.quality_scores,
+    "text_langid": textstats.langid_heuristic,
+    "text_fingerprint": textstats.fingerprints,
+    "extract_spans_synth": extract_spans_synth,
+}
+
+ORACLES: dict[str, str] = {
+    "filter_project": FILTER_PROJECT_SQL,
+    "broadcast_dim_join": BROADCAST_DIM_JOIN_SQL,
+    "modal_group": MODAL_GROUP_SQL,
+    "lang_mode_dist": LANG_MODE_DIST_SQL,
+    "boilerplate_tokens": BOILERPLATE_TOKENS_SQL,
+    "session_window": SESSION_WINDOW_SQL,
+    "run_length": RUN_LENGTH_SQL,
+    "topk_revenue": TOPK_REVENUE_SQL,
+    "distinct_agg": DISTINCT_AGG_SQL,
+    "dedup_exact": dedup.exact_duplicates_oracle(),
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle(),
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle(),
+    "dedup_simhash": dedup.simhash_pairs_oracle(),
+    "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
+    "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
+    "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
+    "ann_ivf_topk": similarity.ann_ivf_topk_oracle(),
+    "text_token_stats": textstats.token_stats_oracle(),
+    "text_quality": textstats.quality_scores_oracle(),
+    "text_langid": textstats.langid_heuristic_oracle(),
+    "text_fingerprint": textstats.fingerprints_oracle(),
+    # extract_spans_synth: non-SQL-expressible → rows-only check
+}
