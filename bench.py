@@ -1,0 +1,173 @@
+"""Per-round benchmark: flagship extraction throughput + headline operator
+queries + the north-rule scaling evidence (same job at N and 4N cores).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "extraction": {docs, wall_s, docs_per_sec},
+   "scaling": {cores_lo, cores_hi, docs_per_sec_lo, docs_per_sec_hi,
+               efficiency, note}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32),
+     SPARK_GRAFT_SCALING=0 to skip the scaling pair runs.
+
+Methodology (see BENCH.md for the control experiments):
+  * The extraction corpus is materialized to parquet once (not timed) —
+    the real job reads a table, not a generator.
+  * Extraction runs as a NARROW plan over a fine-grained scan
+    (maxPartitionBytes=4m): repartitioning a payload-heavy table shuffles
+    hundreds of MB and measured strictly slower at every core count.
+  * Python workers are warmed full-width before timing (Spark reuses
+    them; steady-state throughput is the metric, as on a long-running
+    cluster).
+  * The scaling pair is local[2] vs local[8]: a pure-Python
+    multiprocessing control shows this VM stops scaling linearly past
+    ~8-10 busy cores (0.65-0.73 efficiency for ZERO-Spark embarrassingly
+    parallel code from 8→32), so 2→8 is the largest pair that measures
+    the ENGINE rather than the hypervisor. The local[CPUS] headline run
+    is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "filter_project",
+    "broadcast_dim_join",
+    "modal_group",
+    "boilerplate_tokens",
+    "session_window",
+    "run_length",
+    "topk_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "text_fingerprint",
+    "text_quality",
+]
+
+DOCS_PER_SF = 40_960   # extraction corpus size = DOCS_PER_SF * sf, min 256
+SCALING_DOCS = 1_024   # corpus subset for the N vs 4N pair
+SCALE_LO, SCALE_HI = 2, 8
+
+
+def make_session(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        # fine-grained scan: one ~4 MB payload row per input split keeps
+        # heavy docs isolated without any shuffle
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+        .getOrCreate()
+    )
+
+
+def run_extraction(spark, corpus_path: str, cores: int) -> dict:
+    """Warm python workers full-width, then time a narrow extraction."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+
+    warm = (
+        spark.read.parquet(corpus_path)
+        .limit(4 * cores)
+        .repartition(2 * cores)
+    )
+    extract_spans(warm).count()
+    t0 = time.time()
+    n = extract_spans(spark.read.parquet(corpus_path)).count()
+    wall = time.time() - t0
+    return {"docs": n, "wall_s": round(wall, 2),
+            "docs_per_sec": round(n / wall, 2)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_docs = max(256, int(DOCS_PER_SF * sf))
+
+    from pdf_extract_spark.queries import QUERIES
+    from pdf_extract_spark.sources.corpus import corpus_dataframe
+
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    corpus_path = os.path.join(tmp, "corpus")
+    scaling_path = os.path.join(tmp, "corpus_scaling")
+    try:
+        spark = make_session(cores, "bench")
+        # one-time corpus materialization (not timed as extraction)
+        corpus_dataframe(
+            spark, n_docs, use_fixtures=True, num_partitions=cores * 8
+        ).write.mode("overwrite").parquet(corpus_path)
+        if do_scaling:
+            corpus_dataframe(
+                spark, SCALING_DOCS, use_fixtures=True,
+                num_partitions=cores * 4,
+            ).write.mode("overwrite").parquet(scaling_path)
+
+        timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            (QUERIES[name](spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            timings[name] = round(time.time() - t0, 3)
+
+        extraction = run_extraction(spark, corpus_path, cores)
+        spark.stop()
+
+        scaling = None
+        if do_scaling:
+            per_level = {}
+            for c in (SCALE_HI, SCALE_LO):
+                s = make_session(c, f"bench-scale-{c}")
+                per_level[c] = run_extraction(s, scaling_path, c)
+                s.stop()
+            speedup = (per_level[SCALE_HI]["docs_per_sec"]
+                       / per_level[SCALE_LO]["docs_per_sec"])
+            scaling = {
+                "cores_lo": SCALE_LO, "cores_hi": SCALE_HI,
+                "docs_per_sec_lo": per_level[SCALE_LO]["docs_per_sec"],
+                "docs_per_sec_hi": per_level[SCALE_HI]["docs_per_sec"],
+                "efficiency": round(speedup / (SCALE_HI / SCALE_LO), 3),
+                "note": (f"pair chosen inside this VM's linear region; "
+                         f"local[{cores}] headline uses all cores "
+                         f"(see BENCH.md)"),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()) + extraction["wall_s"], 2)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": extraction,
+        "scaling": scaling,
+        "docs_per_sec": extraction["docs_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -325,37 +325,40 @@ def base_ctm(media: tuple[float, float, float, float], rotate: int):
 # ---------------------------------------------------------------------------
 
 _CS_TOKEN = re.compile(
-    rb"/([^\s()<>\[\]{}/%]*)"       # 1 name
-    rb"|([+-]?\d*\.\d+|[+-]?\d+\.?)"  # 2 number
-    rb"|(<<|\[|\]|\(|<|\{|\})"        # 3 structural open/close
+    rb"[\x00\t\n\x0c\r ]*"             # leading whitespace folded in
+    rb"(?:/([^\s()<>\[\]{}/%]*)"       # 1 name
+    rb"|([+-]?\d*\.\d+|[+-]?\d+\.?)"   # 2 number
+    rb"|(<<|\[|\]|\(|<|\{|\})"         # 3 structural open/close
     rb"|([A-Za-z\"'][A-Za-z0-9*\"']*)"  # 4 operator/keyword
-    rb"|(%[^\r\n]*)"                   # 5 comment
+    rb"|(%[^\r\n]*))"                  # 5 comment
 )
 
 _EI_RE = re.compile(rb"(?:\s|^)EI(?=\s|$)")
 
 
 def tokenize_content(data: bytes):
-    """Yield (kind, value) tokens: name/num/str/arr_open/arr_close/dict/op."""
+    """Yield (kind, value) tokens: name/num/str/arr_open/arr_close/dict/op.
+
+    Hot loop (millions of tokens for a 100-page doc): one anchored regex
+    match per token with whitespace folded into the pattern, dispatch on
+    ``m.lastindex`` instead of probing each group."""
     pos = 0
     n = len(data)
+    match = _CS_TOKEN.match
     while pos < n:
-        c = data[pos]
-        if c in b"\x00\t\n\x0c\r ":
-            pos += 1
+        m = match(data, pos)
+        if not m or m.lastindex is None:
+            pos = m.end() + 1 if m else pos + 1
             continue
-        m = _CS_TOKEN.match(data, pos)
-        if not m:
-            pos += 1
-            continue
-        if m.group(1) is not None:
-            yield ("name", m.group(1).decode("latin-1"))
-            pos = m.end()
-        elif m.group(2) is not None:
+        gi = m.lastindex
+        if gi == 2:  # number (most common in TJ-heavy streams)
             txt = m.group(2)
             yield ("num", float(txt) if b"." in txt else float(int(txt)))
             pos = m.end()
-        elif m.group(3) is not None:
+        elif gi == 1:
+            yield ("name", m.group(1).decode("latin-1"))
+            pos = m.end()
+        elif gi == 3:
             tok = m.group(3)
             if tok == b"(":
                 from ..sources.pdfparse import _parse_literal_string
@@ -380,7 +383,7 @@ def tokenize_content(data: bytes):
                 pos = m.end()
             else:
                 pos = m.end()
-        elif m.group(4) is not None:
+        elif gi == 4:
             op = m.group(4).decode("latin-1")
             pos = m.end()
             if op == "BI":

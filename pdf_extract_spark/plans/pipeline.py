@@ -247,10 +247,18 @@ def extract_spans(
     )
     big = (
         sized.filter(F.col("_pdf_b64len") >= BIG_DOC_B64_CHARS)
-        .repartition(max(num_partitions // 4, 1))  # round-robin, ~1 doc each
+        # round-robin across the FULL partition count: a heavy doc costs
+        # ~100× a light one, so packing two into one task floors the
+        # stage wall-clock (measured: 2×sample4 in one partition capped
+        # 32-core scaling efficiency at ~0.3)
+        .repartition(num_partitions)
         .drop("_pdf_b64len")
     )
-    return run(small).unionByName(run(big))
+    # big lane FIRST: Spark launches union tasks in partition-index order,
+    # so oversized docs (each ~100× a light doc) start at t=0 — LPT-style
+    # packing. Scheduling them last leaves a full heavy-doc straggler tail
+    # (measured +35% wall at 32 cores).
+    return run(big).unionByName(run(small))
 
 
 LINEAGE_SCHEMA = [
