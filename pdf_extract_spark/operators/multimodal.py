@@ -1,0 +1,176 @@
+"""Multimodal (image/audio/video) column plumbing for the training-data
+pipeline.
+
+Media payloads are opaque ``binary`` columns with typed metadata; decode /
+feature-extraction runs in Arrow-batched ``mapInPandas`` — the same
+execution shape as the PDF extractor (plans/pipeline.py), so the 100 TB
+properties carry over: narrow map, fine-grained scan splits for oversized
+payloads, per-batch memory bounded by ``arrow.maxRecordsPerBatch``.
+
+The actual pixel/sample decoders (PIL / libav) are NOT in this sandbox, so
+``_decode_stub`` produces a deterministic pseudo-decode from the payload
+bytes and media_ref — clearly marked, swapped for real decoders via
+``register_decoder``. The Spark-side plumbing (schema, batching, UDF
+signature, partitioning) is real and tested; the stub is also expressible
+in SQL, which gives the rare chance to oracle-check a pandas-UDF path
+end-to-end against DuckDB (queries.py multimodal_features).
+
+Reference parity note: the reference DROPS images at the poppler level
+(``-i`` flag, PDFToHtml.java:52 — issue #56); our engine instead carries
+media as ordered spans (SURVEY.md §2.1 S4) and this module is where they
+become features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.sqlkit import BASE, PRIME
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("media_kind", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("media_kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def polyhash_bytes(data: bytes) -> int:
+    """The sqlkit rolling hash, byte-wise — identical to the SQL
+    ``polyhash`` fragment for ASCII payloads."""
+    acc = 0
+    for b in data:
+        acc = (acc * BASE + b) % PRIME
+    return acc
+
+
+def _decode_stub(payload: bytes, media_ref: str, kind: str) -> dict:
+    """STUB decoder — deterministic pseudo-decode (no image/audio libs in
+    this sandbox). Real deployments call ``register_decoder('image',
+    pil_decode)`` etc.; raising NotImplementedError here would be the
+    honest production default, but the stub keeps the plumbing testable
+    AND SQL-checkable."""
+    href = polyhash_bytes(media_ref.encode("ascii", "replace"))
+    return {
+        "n_bytes": len(payload),
+        "width": 64 + (href % 1856),
+        "height": 64 + ((href * BASE + 7) % PRIME) % 1016,
+        "phash": polyhash_bytes(payload),
+        "decoder": f"stub:{kind}",
+    }
+
+
+_DECODERS: dict[str, Callable[[bytes, str, str], dict]] = {}
+
+
+def register_decoder(kind: str, fn: Callable[[bytes, str, str], dict]) -> None:
+    """Swap in a real decoder (e.g. PIL) for a media kind."""
+    _DECODERS[kind] = fn
+
+
+def _decode_batches(
+    batches: Iterator[pd.DataFrame], decoders: dict
+) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
+    for b in batches:
+        out = []
+        for doc_id, ref, kind, payload in zip(
+            b["doc_id"], b["media_ref"], b["media_kind"], b["payload"]
+        ):
+            fn = decoders.get(kind, _decode_stub)
+            payload = bytes(payload) if payload is not None else b""
+            feat = fn(payload, str(ref), str(kind))
+            out.append({"doc_id": doc_id, "media_ref": ref,
+                        "media_kind": kind, **feat})
+        yield pd.DataFrame(out, columns=cols)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, media_kind, payload:binary) → feature rows.
+
+    Narrow Arrow-batched map — zero shuffle; heavy payloads rely on scan
+    granularity exactly like the PDF lane (BENCH.md §4).
+
+    The decoder registry is SNAPSHOTTED into the UDF closure here:
+    executors re-import this module fresh, so a driver-side dict mutated
+    after plan construction would never reach them (cloudpickle ships the
+    captured copy with the task)."""
+    decoders = dict(_DECODERS)
+    return media.select(
+        "doc_id", "media_ref", "media_kind", "payload"
+    ).mapInPandas(
+        lambda it: _decode_batches(it, decoders), schema=FEATURE_SCHEMA
+    )
+
+
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from the documents table (deterministic):
+    payload = utf-8 text bytes, ref derived from (source, doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("img://"), "source", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: stub-decode features over the synthesized
+    media table. The pandas-UDF output is cross-checked against a pure
+    SQL oracle (the stub is hash-arithmetic, so DuckDB can replay it)."""
+    return media_features(media_from_documents(spark, sf_dir))
+
+
+def multimodal_features_oracle() -> str:
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import DUCK
+
+    href = K.polyhash("media_ref", DUCK)
+    ph = K.polyhash("text", DUCK)
+    return f"""
+        with m as (
+            select cast(doc_id as varchar) as doc_id,
+                   concat('img://', source, '/', cast(doc_id as varchar))
+                       as media_ref,
+                   'image' as media_kind,
+                   text,
+                   cast(length(text) as bigint) as n_bytes
+            from documents
+        )
+        select doc_id, media_ref, media_kind, n_bytes,
+               cast(64 + ({href} % 1856) as int) as width,
+               cast(64 + (({href} * {BASE} + 7) % {PRIME}) % 1016 as int)
+                   as height,
+               {ph} as phash,
+               'stub:image' as decoder
+        from m
+    """

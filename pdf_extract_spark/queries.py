@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import textstats
-from .operators import dedup, similarity
+from .operators import dedup, multimodal, similarity
 
 BOILER_DOC_FRAC = 0.30
 SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
@@ -392,6 +392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": textstats.quality_scores,
     "text_langid": textstats.langid_heuristic,
     "text_fingerprint": textstats.fingerprints,
+    "multimodal_features": multimodal.multimodal_features,
     "extract_spans_synth": extract_spans_synth,
 }
 
@@ -417,5 +418,6 @@ ORACLES: dict[str, str] = {
     "text_quality": textstats.quality_scores_oracle(),
     "text_langid": textstats.langid_heuristic_oracle(),
     "text_fingerprint": textstats.fingerprints_oracle(),
+    "multimodal_features": multimodal.multimodal_features_oracle(),
     # extract_spans_synth: non-SQL-expressible → rows-only check
 }

@@ -1,0 +1,155 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no dataflow streaming (its "stream" API is a byte-stream
+overload, SURVEY.md §2.9) — this module is the engine-completeness
+extension: event-time windowed aggregation with a watermark, and a custom
+stateful sessionizer via ``applyInPandasWithState`` (the streaming form of
+the W2 gap-segmentation query in queries.py session_window).
+
+Scale notes: the windowed aggregate shuffles on (window, event_type) with
+partial aggregation map-side; state for the sessionizer is keyed by
+user_id — at 10^12 events the key space shards across executors and the
+watermark bounds state size (late rows beyond it are dropped rather than
+kept forever).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..queries import SESSION_GAP_US, _US_SPARK
+
+
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over parquet event files (one micro-batch per
+    file by default, so multi-batch state transitions are exercised)."""
+    schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def windowed_event_counts(events: DataFrame,
+                          watermark: str = "1 hour",
+                          window: str = "6 hours") -> DataFrame:
+    """Event-time tumbling-window counts per event_type with a watermark
+    (late data beyond it dropped). Money in exact integer cents.
+
+    Watermarks require TIMESTAMP_LTZ; NTZ sources are cast (session-tz
+    interpretation — consistent within a job)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, name: str,
+                      output_mode: str = "complete") -> DataFrame:
+    """Drain the stream with trigger(availableNow) into a memory sink and
+    return the result table (test/driver harness helper)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: incremental gap sessionizer
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_us", LongType()),
+    ]
+)
+
+#: carried between micro-batches per user: last event time, open session
+#: id, open session start, open session count
+_SESSION_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("sess_id", LongType()),
+        StructField("sess_start_us", LongType()),
+        StructField("sess_n", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental form of the session_window query: carry the open
+    session across micro-batches in GroupState; emit every session's
+    CURRENT aggregate each batch (update mode — the final batch's rows
+    equal the batch-mode result)."""
+    (user_id,) = key
+    if state.exists:
+        last_us, sess_id, sess_start, sess_n = state.get
+    else:
+        last_us, sess_id, sess_start, sess_n = None, 0, None, 0
+    touched: dict[int, tuple[int, int]] = {}
+    for pdf in pdfs:
+        for us in pdf.sort_values("us")["us"]:
+            us = int(us)
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                sess_id += 1
+                sess_start = us
+                sess_n = 0
+            sess_n += 1
+            last_us = us
+            touched[sess_id] = (sess_n, last_us - sess_start)
+    state.update((last_us, sess_id, sess_start, sess_n))
+    if touched:
+        yield pd.DataFrame(
+            [
+                {"user_id": user_id, "sess_id": sid, "n_events": n,
+                 "duration_us": dur}
+                for sid, (n, dur) in touched.items()
+            ]
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Gap-based sessions as a stateful streaming operator
+    (applyInPandasWithState keyed by user_id)."""
+    ev = events.select("user_id", F.expr(_US_SPARK).alias("us"))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,163 @@
+"""Driver-contract gate, in-repo: every queries() entry vs its DuckDB
+oracle at sf0.001 (row count + column names + order-insensitive values),
+plus determinism properties the 10^12-doc design depends on.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    return repr(v)
+
+
+def _key(df):
+    cols = sorted(df.columns)
+    rows = sorted(tuple(_norm(r[c]) for c in cols)
+                  for r in df.to_dict("records"))
+    return len(rows), cols, rows
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _oracle_names():
+    from pdf_extract_spark.queries import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, duck, name):
+    from pdf_extract_spark.queries import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = duck.sql(ORACLES[name]).df()
+    assert _key(sdf) == _key(ddf)
+
+
+def test_registry_covers_oracles():
+    from pdf_extract_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert "extract_spans_synth" in QUERIES
+
+
+def test_minhash_subset_of_exact_jaccard(spark):
+    """LSH candidates that verify are exactly the exact-jaccard pairs
+    that LSH recalled — every LSH pair must appear in the all-pairs
+    result (no false positives survive verification)."""
+    from pdf_extract_spark.operators import dedup
+
+    exact = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)  # banded recall at tau=0.8
+
+
+def test_dedup_partitioning_invariance(spark):
+    """Near-dup pairs must not depend on physical partitioning — the
+    repartition(k)-invariance property the scaling claim rests on."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.functions import sqlkit as K
+    from pdf_extract_spark.operators.dedup import (
+        JACCARD_TAU, SHINGLE_W, _shingled,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in _pairs_from(docs, spark).collect()
+    }
+    repart = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in _pairs_from(docs.repartition(13), spark).collect()
+    }
+    assert base == repart and len(base) > 0
+
+
+def _pairs_from(docs, spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.functions import sqlkit as K
+    from pdf_extract_spark.operators.dedup import JACCARD_TAU, SHINGLE_W
+
+    sh = K.shingle_hashes("text", SHINGLE_W, K.SPARK)
+    s = docs.select("doc_id", F.expr(sh).alias("sh")).withColumn(
+        "n_sh", F.expr(K.asize("sh", K.SPARK))
+    )
+    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", K.SPARK)
+    return (
+        s.alias("a")
+        .join(s.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.expr(jac).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= JACCARD_TAU)
+    )
+
+
+def test_ann_ivf_subset_of_bruteforce(spark):
+    """IVF results are the brute-force results restricted to the cell —
+    per query, every IVF hit must rank >= its brute-force rank."""
+    from pdf_extract_spark.operators import similarity
+
+    bf = similarity.ann_bruteforce_topk(spark, SF_DIR).collect()
+    ivf = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    bf_cos = {(r.query_id, r.cand_id): r.cos for r in bf}
+    best_bf = {}
+    for r in bf:
+        best_bf.setdefault(r.query_id, r.cos)
+        best_bf[r.query_id] = max(best_bf[r.query_id], r.cos)
+    # ivf top-1 cosine can never exceed brute-force top-1
+    best_ivf = {}
+    for r in ivf:
+        best_ivf.setdefault(r.query_id, r.cos)
+        best_ivf[r.query_id] = max(best_ivf[r.query_id], r.cos)
+    for q, c in best_ivf.items():
+        assert c <= best_bf[q] + 1e-12
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P3/P4 contract: the predicate and the pruned schema appear in the
+    physical parquet scan (PushedFilters / ReadSchema)."""
+    from pdf_extract_spark.queries import filter_project
+
+    plan = filter_project(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+    assert "l_tax" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_broadcast_join_is_broadcast(spark):
+    from pdf_extract_spark.queries import broadcast_dim_join
+
+    plan = broadcast_dim_join(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

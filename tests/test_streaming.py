@@ -1,0 +1,105 @@
+"""Streaming operators: multi-batch file stream, watermark windowed agg
+(complete == batch), and the stateful sessionizer whose final state must
+equal the batch session_window query."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """sf0.001 events split into two time-ordered files → two
+    micro-batches (state must survive the batch boundary)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mid = ev.approxQuantile("event_id", [0.5], 0.001)[0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(out, "a"))
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        os.path.join(out, "b"))
+    # file source wants one flat dir
+    flat = str(tmp_path_factory.mktemp("events_flat"))
+    i = 0
+    for sub in ("a", "b"):
+        d = os.path.join(out, sub)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(d, f), os.path.join(flat, f"{i:02d}.parquet"))
+                i += 1
+    return flat
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    from pdf_extract_spark.streaming.windows import (
+        read_events_stream, run_available_now, windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    res = run_available_now(
+        windowed_event_counts(stream), "win_counts", "complete"
+    ).collect()
+
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    expected = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "event_type", "n_events", "value_cents")
+        .collect()
+    )
+    key = lambda r: (r.w_start, r.w_end, r.event_type, r.n_events, r.value_cents)
+    assert sorted(map(key, res)) == sorted(map(key, expected))
+    assert len(res) > 10
+
+
+def test_stateful_sessionizer_matches_batch(spark, events_dir):
+    from pdf_extract_spark.queries import SESSION_GAP_US, _US_SPARK
+    from pdf_extract_spark.streaming.windows import (
+        read_events_stream, run_available_now, sessionize_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    mem = run_available_now(sessionize_stream(stream), "sessions", "update")
+    # update mode appends every per-batch revision; the final value per
+    # (user, session) is the max (counts and durations only grow)
+    final = (
+        mem.groupBy("user_id", "sess_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("duration_us").alias("duration_us"))
+        .collect()
+    )
+
+    ev = spark.read.parquet(events_dir).select(
+        "user_id", "event_id", F.expr(_US_SPARK).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    batch = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "brk",
+            (F.col("prev_us").isNull()
+             | (F.col("us") - F.col("prev_us") > SESSION_GAP_US)).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"),
+             (F.max("us") - F.min("us")).alias("duration_us"))
+        .collect()
+    )
+    key = lambda r: (r.user_id, r.sess_id, r.n_events, r.duration_us)
+    assert sorted(map(key, final)) == sorted(map(key, batch))
+    assert len(final) > 50
