@@ -42,14 +42,19 @@ class DocResult:
     n_pages: int = 0
     n_lines: int = 0
     n_media: int = 0
+    lines: list[Line] | None = None  # kept only when keep_lines=True (S7)
 
 
 _DEFAULT_RULES = RuleSet()
 
 
 def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
-                max_pages: int | None = None) -> DocResult:
-    """Extract one PDF into ordered (kind, text, media_ref) spans."""
+                max_pages: int | None = None,
+                keep_lines: bool = False) -> DocResult:
+    """Extract one PDF into ordered (kind, text, media_ref) spans.
+
+    ``keep_lines=True`` retains the processed layout lines on the result
+    for the S7 HTML renderer (functions/htmlout.py)."""
     rules = rules or _DEFAULT_RULES
     res = DocResult()
     try:
@@ -154,6 +159,8 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
     res.n_lines = len(lines)
     res.n_media = len(media)
     res.spans = _assemble_spans(lines, media)
+    if keep_lines:
+        res.lines = lines
     return res
 
 

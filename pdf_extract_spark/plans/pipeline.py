@@ -261,6 +261,64 @@ def extract_spans(
     return run(big).unionByName(run(small))
 
 
+HTML_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("html", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _html_batches(
+    batches: Iterator[pd.DataFrame], config: dict | None,
+    max_pages: int | None, keep_br: bool
+) -> Iterator[pd.DataFrame]:
+    from ..functions.htmlout import render_document, render_error
+    from ..operators.extract import extract_pdf
+
+    rules = _get_ruleset(config)
+    for b in batches:
+        rows = []
+        for doc_id, spans in zip(b["doc_id"], b["spans"]):
+            html = ""
+            err = None
+            items = sorted(spans if spans is not None else [],
+                           key=lambda s: s["offset"])
+            for span in items:
+                if span["kind"] != "pdf":
+                    continue
+                pdf = _pdf_payload(span)
+                if pdf is None:
+                    err = "pdf: missing payload"
+                    html = render_error(err)
+                    continue
+                res = extract_pdf(pdf, rules, max_pages=max_pages,
+                                  keep_lines=True)
+                if res.error:
+                    err = res.error
+                    html = render_error(err)
+                else:
+                    html = render_document(
+                        res.lines or [], res.lang, res.lang_dist,
+                        res.warnings, keep_br=keep_br,
+                    )
+            rows.append({"doc_id": str(doc_id), "html": html, "error": err})
+        yield pd.DataFrame(rows, columns=["doc_id", "html", "error"])
+
+
+def extract_html(df: DataFrame, config: dict | None = None,
+                 max_pages: int | None = None,
+                 keep_br: bool = False) -> DataFrame:
+    """S7 HTML sink: (doc_id, spans) → (doc_id, html, error) in the
+    reference's alignment-optimized format — same narrow Arrow-batched
+    shape as extract_spans."""
+    return df.select("doc_id", "spans").mapInPandas(
+        lambda it: _html_batches(it, config, max_pages, keep_br),
+        schema=HTML_SCHEMA,
+    )
+
+
 LINEAGE_SCHEMA = [
     "run_id", "partition_id", "doc_ids_min", "doc_ids_max",
     "n_docs", "n_ok", "n_err", "wall_ms",
@@ -311,9 +369,16 @@ def run_pipeline(
                         num_partitions=num_partitions)
     out = out.persist()
     n_out = out.count()
-    io.write(out, output_ref, run_id=run_id, mode="append")
+    # Write lineage BEFORE appending the output: on resume, `out` depends
+    # on a read of output_ref (the anti-join), and appending to that path
+    # invalidates/recaches every cached plan built on it — a lineage pass
+    # run after the append recomputes against the just-committed output
+    # and anti-joins away every row (observed: empty lineage on resumed
+    # runs). Failure between the two writes only over-reports lineage;
+    # resume correctness keys on committed OUTPUT doc_ids.
     lin = lineage_frame(out, run_id)
     io.write(lin, lineage_ref or output_ref.rstrip("/") + "_lineage",
              run_id=run_id, mode="append")
+    io.write(out, output_ref, run_id=run_id, mode="append")
     out.unpersist()
     return {"run_id": run_id, "n_docs": n_out}

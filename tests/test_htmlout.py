@@ -1,0 +1,66 @@
+"""S7 HTML sink: renderer structure/ID scheme, error doc, pipeline op."""
+
+from __future__ import annotations
+
+import re
+
+from conftest import fixture_bytes
+
+
+def _render(name: str) -> str:
+    from pdf_extract_spark.functions.htmlout import render_document
+    from pdf_extract_spark.functions.textrules import RuleSet
+    from pdf_extract_spark.operators.extract import extract_pdf
+
+    pdf = fixture_bytes(name)
+    assert pdf is not None
+    res = extract_pdf(pdf, RuleSet(), keep_lines=True)
+    assert res.error is None
+    return render_document(res.lines, res.lang, res.lang_dist, res.warnings)
+
+
+def test_render_sample_structure():
+    html = _render("sample.pdf")
+    assert html.startswith("<html>\n<head>")
+    assert '<defaultLang abbr="en" />' in html
+    assert '<language abbr="en"' in html
+    assert '<div id="page1" class="page">' in html
+    assert '<div id="page2" class="page">' in html
+    assert '<p id="page1p1" lang="en"' in html
+    assert "A Simple PDF File" in html
+    assert html.rstrip().endswith("</html>")
+    # well-formed nesting: every <p opens before its </p>, pages balanced
+    assert html.count("<p id=") == html.count("</p>")
+    assert html.count('<div id="page') == html.count("</div>")
+
+
+def test_paragraph_ids_reset_per_page():
+    html = _render("sample.pdf")
+    # page2's first paragraph must restart at p1 (README.md:290-298)
+    assert re.search(r'<p id="page2p1" ', html)
+
+
+def test_fontname_attribute_present():
+    html = _render("sample3.pdf")
+    m = re.search(r'<p id="page1p1" lang="[a-z]*" fontname="([^"]*)">', html)
+    assert m, html[:600]
+
+
+def test_render_error_doc():
+    from pdf_extract_spark.functions.htmlout import render_error
+
+    out = render_error("boom & <bust>")
+    assert "<error>boom &amp; &lt;bust&gt;</error>" in out
+
+
+def test_extract_html_operator(spark):
+    from pdf_extract_spark.plans.pipeline import extract_html
+    from pdf_extract_spark.sources.corpus import corpus_pandas
+
+    docs = spark.createDataFrame(corpus_pandas(6, use_fixtures=True))
+    rows = {r.doc_id: r for r in extract_html(docs).collect()}
+    assert len(rows) == 6
+    ok = [r for r in rows.values() if r.error is None]
+    assert len(ok) == 6
+    assert all(r.html.startswith("<html>") for r in ok)
+    assert all('<div id="page1"' in r.html for r in ok)

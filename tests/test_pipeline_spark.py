@@ -113,6 +113,26 @@ class TestPipelineRun:
         assert sum(r["n_docs"] for r in rows if r["run_id"] == r1["run_id"]) == 8
         assert all(r["n_err"] == 0 for r in rows)
 
+    def test_resume_partial_lineage_not_empty(self, spark, tmp_path):
+        """Regression: a resumed run's lineage must cover the NEW docs —
+        writing output before lineage used to invalidate the cached plan
+        and recompute the anti-join against the just-appended output,
+        producing empty lineage."""
+        inp8 = str(tmp_path / "in8")
+        inp12 = str(tmp_path / "in12")
+        outp = str(tmp_path / "outr")
+        corpus_dataframe(spark, 8, use_fixtures=False).write.parquet(inp8)
+        corpus_dataframe(spark, 12, use_fixtures=False).write.parquet(inp12)
+        pipeline.run_pipeline(spark, inp8, outp)
+        r2 = pipeline.run_pipeline(spark, inp12, outp, resume=True)
+        assert r2["n_docs"] == 4
+        lin = spark.read.parquet(outp + "_lineage")
+        per_run = (
+            lin.groupBy("run_id").sum("n_docs").collect()
+        )
+        assert sorted(r["sum(n_docs)"] for r in per_run) == [4, 8]
+        assert spark.read.parquet(outp).select("doc_id").distinct().count() == 12
+
     def test_lineage_columns(self, spark, tmp_path):
         inp = str(tmp_path / "in2")
         outp = str(tmp_path / "out2")
