@@ -32,7 +32,10 @@ MIN_QUALITY_TOKENS = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file input → repartition so the hash expressions parallelize
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _tok_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,7 +48,12 @@ COSINE_TAU = 0.45
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test tables are single small parquet files → a single input
+    # partition; hashing is CPU-bound, so spread rows across the cluster
+    # first (a ~KB/row shuffle, repaid ~cores× on the hash stage)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -96,11 +101,19 @@ def exact_duplicates_oracle() -> str:
 # n-gram jaccard (exact all-pairs with lossless size prefilter)
 # ---------------------------------------------------------------------------
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingled(spark: SparkSession, sf_dir: str,
+              reuse: bool = False) -> DataFrame:
+    """Distinct shingle-hash array per doc. ``reuse=True`` persists the
+    frame: the LSH operators reference it from 3-4 plan branches (band
+    self-join sides + verify joins) and Spark recomputes common subplans
+    per branch — shingle hashing is the dominant cost, so caching it is a
+    ~3x win (and at cluster scale the signature frame is exactly what
+    you'd materialize as an intermediate table)."""
     sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
-    return _docs(spark, sf_dir).select(
+    out = _docs(spark, sf_dir).select(
         "doc_id", F.expr(sh).alias("sh")
     ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
+    return out.persist() if reuse else out
 
 
 _SHINGLED_CTE_DUCK = f"""
@@ -117,7 +130,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs w-shingle jaccard ≥ τ (exact). The size-ratio prefilter is
     lossless, cutting candidate pairs before the set intersection; at real
     scale this operator only ever runs on LSH candidates."""
-    s = _shingled(spark, sf_dir)
+    s = _shingled(spark, sf_dir, reuse=True)
     a, b = s.alias("a"), s.alias("b")
     jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", SPARK)
     return (
@@ -159,12 +172,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The candidate join is an equi-join on (band_idx, band_key): at 10^12
     docs this is the only shuffle, keyed by a near-uniform 4-minhash
     concatenation — no O(n²) stage anywhere."""
-    s = _shingled(spark, sf_dir)
+    s = _shingled(spark, sf_dir, reuse=True)
+    # sig is referenced from both sides of the band self-join; without a
+    # persist the 8 min-wise hash expressions run twice per doc
     sig = s.select(
         "doc_id", "sh", "n_sh",
         *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
           for j in range(N_MINHASH)],
-    )
+    ).persist()
     bands = None
     for bi in range(LSH_BANDS):
         cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
@@ -240,7 +255,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, which Catalyst interprets per bit. The sums are order-
     insensitive integers, so the value still matches the fold-based DuckDB
     oracle bit-for-bit."""
-    s = _shingled(spark, sf_dir)
+    s = _shingled(spark, sf_dir, reuse=True)
     ex = s.select("doc_id", F.explode("sh").alias("h"))
     votes = [
         F.sum(
