@@ -50,11 +50,15 @@ _DEFAULT_RULES = RuleSet()
 
 def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
                 max_pages: int | None = None,
-                keep_lines: bool = False) -> DocResult:
+                keep_lines: bool = False,
+                sj_scorer=None) -> DocResult:
     """Extract one PDF into ordered (kind, text, media_ref) spans.
 
     ``keep_lines=True`` retains the processed layout lines on the result
-    for the S7 HTML renderer (functions/htmlout.py)."""
+    for the S7 HTML renderer (functions/htmlout.py). ``sj_scorer`` is an
+    optional :class:`~..functions.sentencejoin.SentenceJoinScorer` — the
+    W4 model-based join stage (reference: sentenceJoin,
+    PDFExtract.java:1092-1216), applied after the W3 rule joins."""
     rules = rules or _DEFAULT_RULES
     res = DocResult()
     try:
@@ -150,6 +154,11 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
     if lines:
         lines = _join_lines(lines, rules)
 
+    # W4 model-based sentence join (optional; reference sentenceJoin
+    # stage PDFExtract.java:289 — runs after languageId, before repair)
+    if lines and sj_scorer is not None:
+        lines = _sentence_join(lines, sj_scorer)
+
     # F2 final repair — vectorized chain; per-language on top of common
     if lines:
         texts = rules.repair_series(pd.Series([ln.text for ln in lines]))
@@ -196,6 +205,38 @@ def _join_lines(lines: list[Line], rules: RuleSet) -> list[Line]:
             del grp[k + 1]
         out.extend(grp)
         start = i
+    return out
+
+
+def _sentence_join(lines: list[Line], scorer) -> list[Line]:
+    """W4: model-scored join of adjacent lines within a page.
+
+    Mirrors the reference's per-page backward walk
+    (PDFExtract.java:1758-1790): for each adjacent pair the ≤6-word
+    contexts are scored; on a join the right line is folded into the
+    left with a single space and, when the pair straddled a paragraph
+    boundary, the paragraphs merge (the reference's marker-cleanup
+    retry pass, PDFExtract.java:1161-1204, removes the paraMarker the
+    same way). Language chunking (PDFExtract.java:1121-1146): only
+    same-language pairs are considered."""
+    out = list(lines)
+    i = len(out) - 2
+    while i >= 0:
+        cur, nxt = out[i], out[i + 1]
+        if (cur.pageno == nxt.pageno
+                and (cur.lang == nxt.lang or not cur.lang or not nxt.lang)
+                and scorer.should_join_texts(cur.text, nxt.text)):
+            merged_para = cur.para
+            cur.text = cur.text.strip() + " " + nxt.text.strip()
+            cur.right = max(cur.right, nxt.right)
+            cur.bottom = max(cur.bottom, nxt.bottom)
+            old_para = nxt.para
+            del out[i + 1]
+            if old_para != merged_para:
+                for ln in out:
+                    if ln.pageno == cur.pageno and ln.para == old_para:
+                        ln.para = merged_para
+        i -= 1
     return out
 
 

@@ -97,6 +97,7 @@ OUTPUT_SCHEMA = StructType(
 BIG_DOC_B64_CHARS = 2_000_000
 
 _RULESET_CACHE: dict[int, Any] = {}
+_SCORER_CACHE: dict[str, Any] = {}
 
 
 def _get_ruleset(config: dict | None):
@@ -111,30 +112,75 @@ def _get_ruleset(config: dict | None):
     return rs
 
 
+def _get_scorer(sj_model, sj_threshold: float | None):
+    """Resolve the W4 sentence-join scorer once per executor process —
+    the Spark analogue of the reference's lazily-started, per-language
+    shared worker (PDFExtract.java:1723-1754): an ARPA prefix path is
+    parsed once per Python worker and cached; a scorer object (small
+    model) rides the task closure. Returns None when no model is
+    configured, or the string ``"missing"`` when a path was given but
+    unreadable (degrades to a per-doc warning, the reference's
+    model-missing behavior at PDFExtract.java:1299-1324)."""
+    if sj_model is None:
+        return None
+    if not isinstance(sj_model, str):
+        if sj_threshold is not None:
+            sj_model.threshold = sj_threshold
+        return sj_model
+    key = f"{sj_model}|{sj_threshold}"
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        from ..functions.sentencejoin import DEFAULT_THRESHOLD, SentenceJoinScorer
+
+        try:
+            sc = SentenceJoinScorer.from_arpa(
+                sj_model,
+                DEFAULT_THRESHOLD if sj_threshold is None else sj_threshold)
+        except (OSError, ValueError):
+            sc = "missing"
+        _SCORER_CACHE[key] = sc
+    return sc
+
+
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], config: dict | None, max_pages: int | None
+    batches: Iterator[pd.DataFrame], config: dict | None, max_pages: int | None,
+    sj_model=None, sj_threshold: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one output row per input document."""
     from ..operators.extract import extract_pdf
 
     rules = _get_ruleset(config)
+    scorer = _get_scorer(sj_model, sj_threshold)
     for pdf_batch in batches:
         out_rows = []
         for doc_id, spans in zip(pdf_batch["doc_id"], pdf_batch["spans"]):
             t0 = time.monotonic()
-            row = _extract_one(str(doc_id), spans, rules, max_pages, extract_pdf)
+            row = _extract_one(str(doc_id), spans, rules, max_pages, extract_pdf,
+                               scorer)
             row["extract_ms"] = int((time.monotonic() - t0) * 1000)
             out_rows.append(row)
         yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
 
-def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf) -> dict:
+def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
+                 scorer=None) -> dict:
     out_spans: list[dict] = []
     lang = ""
     lang_dist: list[dict] = []
     warnings: list[dict] = []
     error = None
     n_pages = n_lines = n_media = 0
+
+    sj_scorer = None
+    if scorer == "missing":
+        # model path configured but unreadable — reference degrades to a
+        # warning and skips the stage (PDFExtract.java:1299-1324)
+        warnings.append(
+            {"method": "sentencejoin", "detail": "model not found",
+             "suggestion": "check sentence-join model prefix path"}
+        )
+    elif scorer is not None:
+        sj_scorer = scorer
 
     items = sorted(spans if spans is not None else [], key=lambda s: s["offset"])
     for span in items:
@@ -148,7 +194,8 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf) -> dict:
                      "suggestion": "provide base64 body in text"}
                 )
                 continue
-            res = extract_pdf(pdf_bytes, rules, max_pages=max_pages)
+            res = extract_pdf(pdf_bytes, rules, max_pages=max_pages,
+                              sj_scorer=sj_scorer)
             n_pages += res.n_pages
             n_lines += res.n_lines
             n_media += res.n_media
@@ -215,17 +262,23 @@ def extract_spans(
     config: dict | None = None,
     max_pages: int | None = None,
     num_partitions: int | None = None,
+    sj_model=None,
+    sj_threshold: float | None = None,
 ) -> DataFrame:
     """The extraction operator: (doc_id, spans) → OUTPUT_SCHEMA.
 
     Zero-shuffle narrow map when ``num_partitions`` is None; with it, the
-    two-lane skew split described in the module docstring."""
+    two-lane skew split described in the module docstring. ``sj_model``
+    enables the W4 sentence-join stage: an ARPA model prefix (visible on
+    executors, e.g. shipped with ``spark-submit --files``; loaded once
+    per Python worker) or an in-memory ``SentenceJoinScorer``."""
     spark = df.sparkSession
     df = df.select("doc_id", "spans")  # column pruning before the UDF
 
     def run(d: DataFrame) -> DataFrame:
         return d.mapInPandas(
-            lambda it: _extract_batches(it, config, max_pages),
+            lambda it: _extract_batches(it, config, max_pages, sj_model,
+                                        sj_threshold),
             schema=OUTPUT_SCHEMA,
         )
 
@@ -352,6 +405,8 @@ def run_pipeline(
     resume: bool = False,
     num_partitions: int | None = None,
     max_pages: int | None = None,
+    sj_model: str | None = None,
+    sj_threshold: float | None = None,
 ) -> dict:
     """spark-submit entry: read → (resume anti-join) → extract → commit.
 
@@ -366,7 +421,8 @@ def run_pipeline(
         # committed doc_ids per run are small relative to input → broadcastable
         df = df.join(F.broadcast(done), "doc_id", "left_anti")
     out = extract_spans(df, config=config, max_pages=max_pages,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions,
+                        sj_model=sj_model, sj_threshold=sj_threshold)
     out = out.persist()
     n_out = out.count()
     # Write lineage BEFORE appending the output: on resume, `out` depends

@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-doc page budget (oversized-doc bypass lane)")
     ap.add_argument("--config", default=None,
                     help="PDFExtract.json-compatible rule config")
+    ap.add_argument("--sj-model", default=None,
+                    help="W4 sentence-join ARPA model prefix (expects "
+                         "{prefix}.forward.lm/.backward.lm[/.threshold]; "
+                         "ship to executors with spark-submit --files)")
+    ap.add_argument("--sj-threshold", type=float, default=None,
+                    help="sentence-join decision threshold (default 7.0 "
+                         "or {prefix}.threshold)")
     ap.add_argument("--html", action="store_true",
                     help="emit alignment-optimized HTML instead of spans")
     args = ap.parse_args(argv)
@@ -76,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
             resume=args.resume,
             num_partitions=args.num_partitions,
             max_pages=args.max_pages,
+            sj_model=args.sj_model,
+            sj_threshold=args.sj_threshold,
         )
     print(json.dumps(summary))
     return 0
