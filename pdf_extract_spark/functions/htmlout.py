@@ -26,6 +26,7 @@ def render_document(
     lang_dist=None,
     warnings=None,
     keep_br: bool = False,
+    permission: dict | None = None,
 ) -> str:
     """lines: ordered layout.Line objects (pageno, para, lang, family,
     text). Returns the full HTML document string."""
@@ -51,6 +52,25 @@ def render_document(
                 f'suggestion="{escape(str(s), quote=True)}" />'
             )
         out.append("    </warnings>")
+    if permission is not None:
+        # S6 block (emitted with -P 1 in the reference,
+        # PDFExtract.java:1352-1364; Java booleans print lowercase)
+        def b(key: str) -> str:
+            return "true" if permission.get(key) else "false"
+
+        out.append(f'<permission isencrypted="{b("is_encrypted")}">')
+        out.append(f'<canassemply>{b("can_assembly")}</canassemply>')
+        out.append(f'<cancopy>{b("can_copy")}</cancopy>')
+        out.append(f'<canmodified>{b("can_modified")}</canmodified>')
+        out.append(
+            f'<canmodifyannotations>{b("can_modify_annotations")}'
+            "</canmodifyannotations>"
+        )
+        out.append(f'<canprint>{b("can_print")}</canprint>')
+        out.append(f'<canprintdegraded>{b("can_print_degraded")}</canprintdegraded>')
+        out.append(f'<canfillinform>{b("can_fill_in_form")}</canfillinform>')
+        out.append(f'<canscreenreader>{b("can_screen_reader")}</canscreenreader>')
+        out.append("</permission>")
     out.append("</head>")
     out.append("<body>")
 

@@ -43,6 +43,7 @@ class DocResult:
     n_lines: int = 0
     n_media: int = 0
     lines: list[Line] | None = None  # kept only when keep_lines=True (S7)
+    permission: dict | None = None  # S6 AccessPermission booleans (encrypted docs)
 
 
 _DEFAULT_RULES = RuleSet()
@@ -61,11 +62,15 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
     PDFExtract.java:1092-1216), applied after the W3 rule joins."""
     rules = rules or _DEFAULT_RULES
     res = DocResult()
+    doc = None
     try:
         doc = PDFDocument(pdf_bytes, max_pages=max_pages)
+        res.permission = doc.permissions  # S6 probe (encrypted docs only)
         pages = doc.pages()
     except (PDFParseError, RecursionError, MemoryError, ValueError) as exc:
         res.error = f"parse: {exc}"
+        if doc is not None:
+            res.permission = doc.permissions
         return res
     if not pages:
         res.error = "parse: no pages"

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -89,6 +90,24 @@ OUTPUT_SCHEMA = StructType(
         StructField("n_lines", IntegerType()),
         StructField("n_media", IntegerType()),
         StructField("extract_ms", LongType()),
+        # S6 permissions probe (reference AccessPermission,
+        # HTMLObject.java:87-98) — null for unencrypted docs
+        StructField(
+            "permission",
+            StructType(
+                [
+                    StructField("is_encrypted", BooleanType()),
+                    StructField("can_assembly", BooleanType()),
+                    StructField("can_copy", BooleanType()),
+                    StructField("can_print", BooleanType()),
+                    StructField("can_print_degraded", BooleanType()),
+                    StructField("can_modified", BooleanType()),
+                    StructField("can_modify_annotations", BooleanType()),
+                    StructField("can_fill_in_form", BooleanType()),
+                    StructField("can_screen_reader", BooleanType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -170,6 +189,7 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
     warnings: list[dict] = []
     error = None
     n_pages = n_lines = n_media = 0
+    permission = None
 
     sj_scorer = None
     if scorer == "missing":
@@ -196,6 +216,8 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
                 continue
             res = extract_pdf(pdf_bytes, rules, max_pages=max_pages,
                               sj_scorer=sj_scorer)
+            if permission is None:
+                permission = res.permission
             n_pages += res.n_pages
             n_lines += res.n_lines
             n_media += res.n_media
@@ -237,6 +259,7 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
         n_lines=n_lines,
         n_media=n_media,
         extract_ms=0,
+        permission=permission,
     )
 
 
@@ -355,6 +378,7 @@ def _html_batches(
                     html = render_document(
                         res.lines or [], res.lang, res.lang_dist,
                         res.warnings, keep_br=keep_br,
+                        permission=res.permission,
                     )
             rows.append({"doc_id": str(doc_id), "html": html, "error": err})
         yield pd.DataFrame(rows, columns=["doc_id", "html", "error"])

@@ -36,19 +36,29 @@ class Ref:
 
 
 class PDFStream:
-    __slots__ = ("dict", "raw", "_data", "_doc")
+    __slots__ = ("dict", "raw", "_data", "_doc", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes, doc: "PDFDocument | None" = None):
+    def __init__(self, d: dict, raw: bytes, doc: "PDFDocument | None" = None,
+                 num: int = 0, gen: int = 0):
         self.dict = d
         self.raw = raw
         self._data: bytes | None = None
         self._doc = doc
+        self.num = num
+        self.gen = gen
 
     @property
     def data(self) -> bytes:
-        """Decoded stream bytes (lazy; applies /Filter chain)."""
+        """Decoded stream bytes (lazy; decrypts, then applies /Filter)."""
         if self._data is None:
-            self._data = decode_stream(self.dict, self.raw, self._doc)
+            raw = self.raw
+            doc = self._doc
+            # S5: transparent RC4 decrypt before the filter chain. XRef
+            # streams are never encrypted (PDF 32000-1 §7.5.8.2).
+            if (doc is not None and doc.crypt is not None
+                    and str(self.dict.get("Type", "")) != "XRef"):
+                raw = doc.crypt.decrypt(raw, self.num, self.gen)
+            self._data = decode_stream(self.dict, raw, doc)
         return self._data
 
 
@@ -426,9 +436,17 @@ class PDFDocument:
         self.objects: dict[int, object] = {}
         self.trailer: dict = {}
         self.max_pages = max_pages
+        self.crypt = None  # StandardSecurityHandler when decryptable
+        self.crypt_error: str | None = None  # unsupported-encryption detail
+        self.permissions: dict | None = None  # S6 AccessPermission booleans
         self._scan_objects()
-        self._expand_object_streams()
+        # encryption must be resolved BEFORE ObjStm expansion (packed
+        # object streams are themselves encrypted)
         self._find_trailer()
+        self._setup_encryption()
+        self._expand_object_streams()
+        if "Root" not in self.trailer:
+            self._find_trailer()  # retry: catalog may have been packed
 
     # -- object discovery ---------------------------------------------------
     def _scan_objects(self) -> None:
@@ -444,7 +462,7 @@ class PDFDocument:
                 if sm:
                     start = sm.end()
                     raw = self._extract_stream(obj, start)
-                    obj = PDFStream(obj, raw, self)
+                    obj = PDFStream(obj, raw, self, num=num, gen=int(m.group(2)))
             # later definitions win (incremental updates append to the file)
             self.objects[num] = obj
 
@@ -507,17 +525,49 @@ class PDFDocument:
                 if "Root" in d:
                     self.trailer["Root"] = d["Root"]
         if "Root" not in self.trailer:
-            # xref-stream trailer: any stream dict with /Type /XRef has Root
+            # xref-stream trailer: any stream dict with /Type /XRef carries
+            # the trailer keys (Root/Encrypt/ID)
             for obj in self.objects.values():
                 if isinstance(obj, PDFStream) and str(obj.dict.get("Type", "")) == "XRef":
-                    if "Root" in obj.dict:
-                        self.trailer["Root"] = obj.dict["Root"]
+                    for k in ("Root", "Encrypt", "ID"):
+                        if k in obj.dict and k not in self.trailer:
+                            self.trailer[k] = obj.dict[k]
         if "Root" not in self.trailer:
             # last resort: find the catalog by type
             for num, obj in self.objects.items():
                 if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
                     self.trailer["Root"] = Ref(num)
                     break
+
+    def _setup_encryption(self) -> None:
+        """S5/S6: resolve /Encrypt. Decryptable (Standard V1/V2, empty
+        user password) → transparent stream decrypt via ``self.crypt``;
+        otherwise record the reason so ``pages()`` raises a structured
+        ``encrypted:`` error (the reference's permission-error path,
+        PDFToHtml.java:58-67). Permission bits decode either way."""
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if not isinstance(enc, dict):
+            return
+        from .pdfcrypt import (
+            StandardSecurityHandler,
+            UnsupportedEncryption,
+            _as_int32,
+            permissions_dict,
+        )
+
+        self.permissions = permissions_dict(_as_int32(enc.get("P", -1)))
+        doc_id = self.resolve(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(doc_id, list) and doc_id:
+            first = self.resolve(doc_id[0])
+            if isinstance(first, bytes):
+                id0 = first
+        try:
+            self.crypt = StandardSecurityHandler(
+                {k: self.resolve(v) for k, v in enc.items()}, id0
+            )
+        except UnsupportedEncryption as exc:
+            self.crypt_error = str(exc)
 
     # -- resolution ---------------------------------------------------------
     def resolve(self, obj, depth: int = 0):
@@ -533,6 +583,8 @@ class PDFDocument:
     _INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")
 
     def pages(self) -> list[PageRecord]:
+        if self.crypt_error is not None:
+            raise PDFParseError(f"encrypted: {self.crypt_error}")
         root = self.resolve(self.trailer.get("Root"))
         if not isinstance(root, dict):
             raise PDFParseError("no document catalog")
