@@ -22,6 +22,10 @@ Grouping (SURVEY.md §2 ids in parens):
     ann_bruteforce_topk, ann_ivf_topk,
     text_token_stats, text_quality, text_langid, text_fingerprint
 
+  scalar-function analogues (SURVEY.md §2.3)
+    text_normalize       (F1/F2) ordered normalize/repair chain
+    text_context_words   (F4)    first/last ≤6-word join contexts
+
   non-SQL-expressible (rows-only check; no oracle)
     extract_spans_synth  the flagship PDF→span pipeline on a deterministic
                          synthetic interleaved corpus (golden-tested
@@ -346,6 +350,61 @@ DISTINCT_AGG_SQL = """
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 analogue: ordered scalar normalize chain (the SQL-checkable
+    form of RuleSet.normalize_series/repair_series — lowercase, fold
+    non-alphanumerics, collapse runs, trim). Patterns restricted to the
+    Java-regex ∩ RE2 common dialect so the oracle cross-checks exactly."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +", " ",
+        )
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", norm.alias("norm_text"))
+        .withColumn("norm_len", F.length("norm_text"))
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+    select doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g')) as norm_text,
+           cast(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), '  +', ' ', 'g'))) as int) as norm_len
+    from documents
+"""
+
+
+def text_context_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: first/last ≤6-word KenLM context snippets per document
+    (getFirstWords/getLastWords, PDFExtract.java:1671-1699 — the inputs
+    the W4 scorer sees)."""
+    words = F.split(F.col("text"), " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 6), " ").alias("first_words"),
+        F.array_join(
+            F.slice(words, F.greatest(F.size(words) - 5, F.lit(1)), 6), " "
+        ).alias("last_words"),
+    )
+
+
+TEXT_CONTEXT_WORDS_SQL = """
+    with w as (
+        select doc_id, string_split(text, ' ') as words from documents
+    )
+    select doc_id,
+           array_to_string(list_slice(words, 1, least(6, len(words))), ' ')
+               as first_words,
+           array_to_string(list_slice(words, greatest(len(words) - 5, 1),
+                                      len(words)), ' ') as last_words
+    from w
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction (non-SQL; rows-only check)
 # ---------------------------------------------------------------------------
@@ -392,6 +451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": textstats.quality_scores,
     "text_langid": textstats.langid_heuristic,
     "text_fingerprint": textstats.fingerprints,
+    "text_normalize": text_normalize,
+    "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
     "extract_spans_synth": extract_spans_synth,
 }
@@ -418,6 +479,8 @@ ORACLES: dict[str, str] = {
     "text_quality": textstats.quality_scores_oracle(),
     "text_langid": textstats.langid_heuristic_oracle(),
     "text_fingerprint": textstats.fingerprints_oracle(),
+    "text_normalize": TEXT_NORMALIZE_SQL,
+    "text_context_words": TEXT_CONTEXT_WORDS_SQL,
     "multimodal_features": multimodal.multimodal_features_oracle(),
     # extract_spans_synth: non-SQL-expressible → rows-only check
 }
