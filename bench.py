@@ -153,13 +153,23 @@ def main() -> None:
 
         scaling = None
         if do_scaling:
+            # settle after the 32-core headline JVM: its teardown/GC
+            # depressed a same-instant local[8] run from 101 to 57
+            # docs/sec (measured) — two interleaved passes + best-of
+            # keeps one noisy window from poisoning a level
+            time.sleep(5)
             per_level = {}
-            for c in (SCALE_HI, SCALE_LO):
-                s = make_session(c, f"bench-scale-{c}")
-                r = run_extraction(s, scaling_path, c)
-                r2 = run_extraction(s, scaling_path, c)
-                per_level[c] = r2 if r2["docs_per_sec"] > r["docs_per_sec"] else r
-                s.stop()
+            for _pass in range(2):
+                for c in (SCALE_HI, SCALE_LO):
+                    s = make_session(c, f"bench-scale-{c}")
+                    r = run_extraction(s, scaling_path, c)
+                    r2 = run_extraction(s, scaling_path, c)
+                    best = r2 if r2["docs_per_sec"] > r["docs_per_sec"] else r
+                    if (c not in per_level
+                            or best["docs_per_sec"] > per_level[c]["docs_per_sec"]):
+                        per_level[c] = best
+                    s.stop()
+                    time.sleep(3)
             speedup = (per_level[SCALE_HI]["docs_per_sec"]
                        / per_level[SCALE_LO]["docs_per_sec"])
             scaling = {

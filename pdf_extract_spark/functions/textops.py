@@ -17,7 +17,17 @@ import math
 import re
 from dataclasses import dataclass
 
-from ..sources.pdfparse import Name, PDFDocument, PDFStream, Ref, parse_object, _skip_ws
+from ..sources.pdfparse import (
+    Name,
+    PDFDocument,
+    PDFStream,
+    Ref,
+    _parse_dict,
+    _parse_hex_string,
+    _parse_literal_string,
+    _skip_ws,
+    parse_object,
+)
 from .glyphs import base_encoding_table, default_width_for, glyph_to_unicode
 
 
@@ -153,6 +163,7 @@ class FontDecoder:
         self.widths: dict[int, float] = {}
         self.default_w: float | None = None
         self.is_cid = subtype == "Type0"
+        self._agg_cache: dict[bytes, tuple[str, float, int, int]] = {}
 
         tu = doc.resolve(font.get("ToUnicode"))
         if isinstance(tu, PDFStream):
@@ -263,6 +274,29 @@ class FontDecoder:
             return self.default_w
         return default_width_for(code, self.basefont)
 
+    def decode_agg(self, raw: bytes) -> tuple[str, float, int, int]:
+        """Aggregate decode for the show() hot path: (text, Σwidth_em1000,
+        n_glyphs, n_space_glyphs), memoized per byte string — glyph runs
+        repeat heavily (common words, single-glyph kerned fragments), so
+        the per-glyph loop runs once per distinct string per font."""
+        cache = self._agg_cache
+        hit = cache.get(raw)
+        if hit is not None:
+            return hit
+        text_parts: list[str] = []
+        sum_w = 0.0
+        nsp = 0
+        decoded = self.decode(raw)
+        for code, uni, w1000 in decoded:
+            text_parts.append(uni)
+            sum_w += w1000
+            if code == 32:
+                nsp += 1
+        out = ("".join(text_parts), sum_w, len(decoded), nsp)
+        if len(cache) < 8192:  # bound memory per font
+            cache[raw] = out
+        return out
+
     def decode(self, raw: bytes) -> list[tuple[int, str, float]]:
         out: list[tuple[int, str, float]] = []
         if self.code_bytes == 2:
@@ -335,6 +369,59 @@ _CS_TOKEN = re.compile(
 
 _EI_RE = re.compile(rb"(?:\s|^)EI(?=\s|$)")
 
+# run of ≥2 whitespace-separated numbers (vector-graphics operand lists:
+# path data m/l/c/re dominates token counts in drawing-heavy pages)
+# possessive quantifiers: without them a failed run match (isolated
+# number) backtracks through every digit split — measured 2.5× slower
+_NUM_RUN = re.compile(
+    rb"[\x00\t\n\x0c\r ]*+[+-]?+(?:\d*+\.\d++|\d++\.?+)"
+    rb"(?:[\x00\t\n\x0c\r ]++[+-]?+(?:\d*+\.\d++|\d++\.?+))++"
+)
+
+# array-element scanner for the TJ fast path: numbers, strings, hex
+# strings, names, and the closing bracket in one anchored pattern
+_ARR_ELEM = re.compile(
+    rb"[\x00\t\n\x0c\r ]*"
+    rb"(?:([+-]?\d*\.\d+|[+-]?\d+\.?)"  # 1 number
+    rb"|(\()"                            # 2 literal string start
+    rb"|<([0-9A-Fa-f\x00\t\n\x0c\r ]*)>"  # 3 hex string
+    rb"|(\])"                            # 4 close
+    rb"|/([^\s()<>\[\]{}/%]*))"          # 5 name
+)
+
+
+def _parse_content_array(data: bytes, pos: int):
+    """Batch-parse a content-stream array (the TJ hot path: ~90% of all
+    tokens in kerning-heavy documents are numbers/strings inside TJ
+    arrays). Returns (elements, new_pos) or (None, pos) to fall back to
+    the general token loop for exotic contents (nested arrays/dicts)."""
+    out: list = []
+    match = _ARR_ELEM.match
+    n = len(data)
+    while pos < n:
+        m = match(data, pos)
+        if not m or m.lastindex is None:
+            return None, pos  # nested array/dict/operator — generic path
+        gi = m.lastindex
+        if gi == 1:
+            out.append(float(m.group(1)))
+            pos = m.end()
+        elif gi == 2:
+            s, pos = _parse_literal_string(data, m.end())
+            out.append(s)
+        elif gi == 3:
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", m.group(3))
+            if len(hx) % 2:
+                hx += b"0"
+            out.append(bytes.fromhex(hx.decode("ascii")))
+            pos = m.end()
+        elif gi == 4:
+            return out, m.end()
+        else:
+            out.append(m.group(5).decode("latin-1"))
+            pos = m.end()
+    return out, pos
+
 
 def tokenize_content(data: bytes):
     """Yield (kind, value) tokens: name/num/str/arr_open/arr_close/dict/op.
@@ -351,33 +438,45 @@ def tokenize_content(data: bytes):
             pos = m.end() + 1 if m else pos + 1
             continue
         gi = m.lastindex
-        if gi == 2:  # number (most common in TJ-heavy streams)
-            txt = m.group(2)
-            yield ("num", float(txt) if b"." in txt else float(int(txt)))
-            pos = m.end()
+        if gi == 2:  # number (most common kind by far)
+            # batch a whole operand run (path data emits 4-6 numbers per
+            # op): one yield + C-speed split/float instead of one regex
+            # match + yield per number
+            m2 = _NUM_RUN.match(data, pos)
+            if m2 is not None:
+                end = m2.end()
+                yield ("nums", [
+                    float(x)
+                    for x in data[pos:end].replace(b"\x00", b" ").split()
+                ])
+                pos = end
+            else:
+                yield ("num", float(m.group(2)))
+                pos = m.end()
         elif gi == 1:
             yield ("name", m.group(1).decode("latin-1"))
             pos = m.end()
         elif gi == 3:
             tok = m.group(3)
             if tok == b"(":
-                from ..sources.pdfparse import _parse_literal_string
-
                 s, pos = _parse_literal_string(data, m.end())
                 yield ("str", s)
             elif tok == b"<":
-                from ..sources.pdfparse import _parse_hex_string
-
                 s, pos = _parse_hex_string(data, m.end())
                 yield ("str", s)
             elif tok == b"<<":
-                from ..sources.pdfparse import _parse_dict
-
                 d, pos = _parse_dict(data, m.end())
                 yield ("dict", d)
             elif tok == b"[":
-                yield ("arr_open", None)
-                pos = m.end()
+                # TJ fast path: one batched token instead of per-element
+                # yields (the bulk of all tokens in kerned documents)
+                arr, pos2 = _parse_content_array(data, m.end())
+                if arr is not None:
+                    yield ("arr", arr)
+                    pos = pos2
+                else:
+                    yield ("arr_open", None)
+                    pos = m.end()
             elif tok == b"]":
                 yield ("arr_close", None)
                 pos = m.end()
@@ -403,6 +502,13 @@ def tokenize_content(data: bytes):
 
 MAX_OPS_PER_PAGE = 400_000  # budget guard: oversized/adversarial pages bail out
 MAX_FORM_DEPTH = 8
+
+#: operators the interpreter acts on; everything else clears the operand
+#: stack and moves on (single frozenset probe)
+_HANDLED_OPS = frozenset((
+    "q", "Q", "cm", "BT", "ET", "Tf", "Td", "TD", "Tm", "T*", "TL", "Tc",
+    "Tw", "Tz", "Ts", "Tj", "'", '"', "TJ", "rg", "sc", "scn", "g", "k", "Do",
+))
 
 
 def _color_hex(rgb) -> str:
@@ -489,10 +595,9 @@ def _run_stream(
                 continue
             if not isinstance(item, bytes):
                 continue
-            for code, uni, w1000 in font.decode(item):
-                adv = (w1000 / 1000.0 * fsize + tc + (tw if code == 32 else 0.0)) * th
-                text_parts.append(uni)
-                disp += adv
+            txt, sum_w, nglyphs, nsp = font.decode_agg(item)
+            text_parts.append(txt)
+            disp += (sum_w / 1000.0 * fsize + nglyphs * tc + nsp * tw) * th
         trm = mat_mul((fsize * th, 0.0, 0.0, fsize, 0.0, ts), mat_mul(tm, gs.ctm))
         x0, y0 = mat_apply(trm, 0.0, 0.0)
         # device-space font size from the length of the (0,1) basis vector
@@ -542,10 +647,19 @@ def _run_stream(
             return 0.0
 
     for kind, val in tokenize_content(data):
-        op_budget[0] += 1
+        if kind == "nums":  # batched operand run — the hottest kind
+            op_budget[0] += len(val)
+            if op_budget[0] > MAX_OPS_PER_PAGE:
+                break
+            if arr_stack:
+                arr_stack[-1].extend(val)
+            else:
+                stack.extend(val)
+            continue
+        op_budget[0] += len(val) if kind == "arr" else 1
         if op_budget[0] > MAX_OPS_PER_PAGE:
             break
-        if kind in ("name", "num", "str", "dict"):
+        if kind in ("name", "num", "str", "dict", "arr"):
             if arr_stack:
                 arr_stack[-1].append(val)
             else:
@@ -577,6 +691,12 @@ def _run_stream(
             continue
         # kind == "op"
         op = val
+        if op not in _HANDLED_OPS:
+            # path/clipping/shading/marked-content ops: one set probe
+            # instead of falling through the whole dispatch chain
+            # (drawing-heavy pages: ~25× more path ops than text ops)
+            stack.clear()
+            continue
         try:
             if op == "q":
                 gs_stack.append(_State(gs.ctm, gs.fill))

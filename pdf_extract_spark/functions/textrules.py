@@ -67,6 +67,22 @@ DEFAULT_CONFIG: dict = {
 }
 
 
+def load_search_replace_tab(path: str) -> list[tuple[str, str]]:
+    """Parse a ``search-replace.tab`` file (one ``search<TAB>replace``
+    pair per line; blank lines and lines without a tab ignored, matching
+    Common.java:494-505's lenient split)."""
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n").rstrip("\r")
+            if not line or "\t" not in line:
+                continue
+            search, rep = line.split("\t", 1)
+            if search:
+                out.append((search, rep.split("\t")[0]))
+    return out
+
+
 @dataclass
 class LangRules:
     normalize: list[tuple[re.Pattern, str]] = field(default_factory=list)
@@ -82,7 +98,8 @@ class RuleSet:
     (SURVEY.md §2.8 — config parsed on the driver, broadcast to UDFs).
     """
 
-    def __init__(self, config: dict | None = None):
+    def __init__(self, config: dict | None = None,
+                 search_replace_tab: str | None = None):
         cfg = config or DEFAULT_CONFIG
         self.langs: dict[str, LangRules] = {}
         for lang, rules in cfg.get("languages", {}).items():
@@ -101,11 +118,20 @@ class RuleSet:
             for pat, rep in rules.get("repair", []):
                 lr.repair.append((re.compile(pat), rep))
             self.langs[lang] = lr
+        if search_replace_tab:
+            # F3: optional search-replace.tab next to the jar in the
+            # reference (Common.getSearchReplaceList, Common.java:484-507;
+            # declared README.md:309-316) — tab-separated search/replace
+            # pairs appended to the common normalize chain
+            common = self.langs.setdefault("common", LangRules())
+            for pat, rep in load_search_replace_tab(search_replace_tab):
+                common.normalize.append((re.compile(pat), rep))
 
     @classmethod
-    def from_json(cls, path: str) -> "RuleSet":
+    def from_json(cls, path: str,
+                  search_replace_tab: str | None = None) -> "RuleSet":
         with open(path) as fh:
-            return cls(json.load(fh))
+            return cls(json.load(fh), search_replace_tab=search_replace_tab)
 
     def for_lang(self, lang: str | None) -> list[LangRules]:
         """Rule chains to apply: common first, then the language's own."""

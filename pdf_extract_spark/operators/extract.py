@@ -18,6 +18,7 @@ hundred lines; pandas is used only for the doc-level regex chains
 
 from __future__ import annotations
 
+import time
 import zlib
 from dataclasses import dataclass, field
 
@@ -52,14 +53,31 @@ _DEFAULT_RULES = RuleSet()
 def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
                 max_pages: int | None = None,
                 keep_lines: bool = False,
-                sj_scorer=None) -> DocResult:
+                sj_scorer=None,
+                time_budget_s: float | None = None,
+                hooks: dict | None = None) -> DocResult:
     """Extract one PDF into ordered (kind, text, media_ref) spans.
 
     ``keep_lines=True`` retains the processed layout lines on the result
     for the S7 HTML renderer (functions/htmlout.py). ``sj_scorer`` is an
     optional :class:`~..functions.sentencejoin.SentenceJoinScorer` — the
     W4 model-based join stage (reference: sentenceJoin,
-    PDFExtract.java:1092-1216), applied after the W3 rule joins."""
+    PDFExtract.java:1092-1216), applied after the W3 rule joins.
+
+    ``time_budget_s`` is the X4 per-document budget (the reference kills
+    poppler after ``-t`` seconds, default 30, PDFToHtml.java:22,135-139 —
+    and loses the whole doc; we stop interpreting further pages and keep
+    what's extracted, with a ``timeout`` warning).
+
+    ``hooks`` are the §2.8 extension points (the reference declares them
+    as JavaScript stubs, PDFExtract.js:1-34, never invoked; here they are
+    live Python callables):
+      * ``is_header(page_lines, page_width, page_height) -> list[int]``
+        indices into the page's first 5 lines to drop;
+      * ``is_footer(page_lines, page_width, page_height) -> list[int]``
+        indices into the page's last 5 lines to drop;
+      * ``repair_line(text) -> str`` applied to each line after F2.
+    """
     rules = rules or _DEFAULT_RULES
     res = DocResult()
     doc = None
@@ -81,7 +99,16 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
     lines: list[Line] = []
     media: list = []
     page_heights: dict[int, float] = {}
+    deadline = (time.monotonic() + time_budget_s) if time_budget_s else None
     for p in pages:
+        if deadline is not None and time.monotonic() > deadline:
+            res.warnings.append((
+                "timeout",
+                f"time budget {time_budget_s}s exhausted after "
+                f"{p.pageno - 1}/{len(pages)} pages",
+                "partial extraction; raise time_budget_s",
+            ))
+            break
         page_heights[p.pageno] = p.height
         try:
             runs, medias = interpret_page(
@@ -110,6 +137,12 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
                 layout.runs_to_lines([runs[k] for k in leaf], p.pageno, bi)
             )
         lines.extend(layout.filter_offpage(page_lines, p.width, p.height))
+
+    # §2.8 header/footer hooks — run before the built-in A4 frequency
+    # strip ("if internal logic has not already identified",
+    # PDFExtract.js:24-34), per page over its first/last 5 lines
+    if lines and hooks and ("is_header" in hooks or "is_footer" in hooks):
+        lines = _apply_edge_hooks(lines, hooks, pages)
 
     # A4 boilerplate strip (doc-level frequency over page edge bands)
     if lines:
@@ -170,6 +203,17 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
         for ln, t in zip(lines, texts):
             ln.text = t
 
+    # §2.8 repair_line hook (repairObjectSequence analogue)
+    if lines and hooks and "repair_line" in hooks:
+        fn = hooks["repair_line"]
+        kept = []
+        for ln in lines:
+            t = fn(ln.text)
+            if t and t.strip():
+                ln.text = t
+                kept.append(ln)
+        lines = kept
+
     res.n_lines = len(lines)
     res.n_media = len(media)
     res.spans = _assemble_spans(lines, media)
@@ -211,6 +255,32 @@ def _join_lines(lines: list[Line], rules: RuleSet) -> list[Line]:
         out.extend(grp)
         start = i
     return out
+
+
+def _apply_edge_hooks(lines: list[Line], hooks: dict, pages) -> list[Line]:
+    """§2.8 is_header/is_footer: per page, hand the hook that page's
+    lines and page dims; it returns indices (within the first/last 5)
+    to drop — the contract PDFExtract.js:24-34 documents."""
+    dims = {p.pageno: (p.width, p.height) for p in pages}
+    drop_ids: set[int] = set()
+    by_page: dict[int, list[int]] = {}
+    for i, ln in enumerate(lines):
+        by_page.setdefault(ln.pageno, []).append(i)
+    for pageno, idxs in by_page.items():
+        w, h = dims.get(pageno, (0.0, 0.0))
+        page_lines = [lines[i] for i in idxs]
+        if "is_header" in hooks:
+            for k in hooks["is_header"](page_lines, w, h) or []:
+                if 0 <= k < min(5, len(idxs)):
+                    drop_ids.add(idxs[k])
+        if "is_footer" in hooks:
+            tail = idxs[-5:]
+            for k in hooks["is_footer"](page_lines, w, h) or []:
+                if 0 <= k < len(tail):
+                    drop_ids.add(tail[len(tail) - 1 - k])
+    if not drop_ids:
+        return lines
+    return [ln for i, ln in enumerate(lines) if i not in drop_ids]
 
 
 def _sentence_join(lines: list[Line], scorer) -> list[Line]:

@@ -164,6 +164,7 @@ def _get_scorer(sj_model, sj_threshold: float | None):
 def _extract_batches(
     batches: Iterator[pd.DataFrame], config: dict | None, max_pages: int | None,
     sj_model=None, sj_threshold: float | None = None,
+    time_budget_s: float | None = None, hooks: dict | None = None,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one output row per input document."""
     from ..operators.extract import extract_pdf
@@ -175,14 +176,15 @@ def _extract_batches(
         for doc_id, spans in zip(pdf_batch["doc_id"], pdf_batch["spans"]):
             t0 = time.monotonic()
             row = _extract_one(str(doc_id), spans, rules, max_pages, extract_pdf,
-                               scorer)
+                               scorer, time_budget_s, hooks)
             row["extract_ms"] = int((time.monotonic() - t0) * 1000)
             out_rows.append(row)
         yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
 
 def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
-                 scorer=None) -> dict:
+                 scorer=None, time_budget_s: float | None = None,
+                 hooks: dict | None = None) -> dict:
     out_spans: list[dict] = []
     lang = ""
     lang_dist: list[dict] = []
@@ -215,7 +217,8 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
                 )
                 continue
             res = extract_pdf(pdf_bytes, rules, max_pages=max_pages,
-                              sj_scorer=sj_scorer)
+                              sj_scorer=sj_scorer,
+                              time_budget_s=time_budget_s, hooks=hooks)
             if permission is None:
                 permission = res.permission
             n_pages += res.n_pages
@@ -287,6 +290,8 @@ def extract_spans(
     num_partitions: int | None = None,
     sj_model=None,
     sj_threshold: float | None = None,
+    time_budget_s: float | None = None,
+    hooks: dict | None = None,
 ) -> DataFrame:
     """The extraction operator: (doc_id, spans) → OUTPUT_SCHEMA.
 
@@ -294,14 +299,19 @@ def extract_spans(
     two-lane skew split described in the module docstring. ``sj_model``
     enables the W4 sentence-join stage: an ARPA model prefix (visible on
     executors, e.g. shipped with ``spark-submit --files``; loaded once
-    per Python worker) or an in-memory ``SentenceJoinScorer``."""
+    per Python worker) or an in-memory ``SentenceJoinScorer``.
+    ``time_budget_s`` is the X4 per-doc budget (oversized docs produce
+    partial spans + a timeout warning instead of stalling a task);
+    ``hooks`` are the §2.8 Python callables (closure-pickled to
+    executors — keep them module-level functions, not lambdas over big
+    state)."""
     spark = df.sparkSession
     df = df.select("doc_id", "spans")  # column pruning before the UDF
 
     def run(d: DataFrame) -> DataFrame:
         return d.mapInPandas(
             lambda it: _extract_batches(it, config, max_pages, sj_model,
-                                        sj_threshold),
+                                        sj_threshold, time_budget_s, hooks),
             schema=OUTPUT_SCHEMA,
         )
 
@@ -431,6 +441,7 @@ def run_pipeline(
     max_pages: int | None = None,
     sj_model: str | None = None,
     sj_threshold: float | None = None,
+    time_budget_s: float | None = None,
 ) -> dict:
     """spark-submit entry: read → (resume anti-join) → extract → commit.
 
@@ -446,7 +457,8 @@ def run_pipeline(
         df = df.join(F.broadcast(done), "doc_id", "left_anti")
     out = extract_spans(df, config=config, max_pages=max_pages,
                         num_partitions=num_partitions,
-                        sj_model=sj_model, sj_threshold=sj_threshold)
+                        sj_model=sj_model, sj_threshold=sj_threshold,
+                        time_budget_s=time_budget_s)
     out = out.persist()
     n_out = out.count()
     # Write lineage BEFORE appending the output: on resume, `out` depends

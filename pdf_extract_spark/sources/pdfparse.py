@@ -104,6 +104,13 @@ def _skip_ws(data: bytes, pos: int) -> int:
 
 def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
     """pos points just past '('. Returns (bytes, pos after ')')."""
+    # fast path (hot: every Tj/TJ string): no escapes and no nesting
+    # before the closing paren → the span is the string, at C speed
+    end = data.find(b")", pos)
+    if end >= 0:
+        span = data[pos:end]
+        if b"\\" not in span and b"(" not in span:
+            return span, end + 1
     out = bytearray()
     depth = 1
     n = len(data)

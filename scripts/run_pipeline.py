@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
                          "prefer small spark.sql.files.maxPartitionBytes)")
     ap.add_argument("--max-pages", type=int, default=None,
                     help="per-doc page budget (oversized-doc bypass lane)")
+    ap.add_argument("--time-budget", type=float, default=None,
+                    help="per-doc seconds budget (X4: the reference's -t "
+                         "poppler timeout; here partial spans + warning)")
     ap.add_argument("--config", default=None,
                     help="PDFExtract.json-compatible rule config")
     ap.add_argument("--sj-model", default=None,
@@ -85,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             max_pages=args.max_pages,
             sj_model=args.sj_model,
             sj_threshold=args.sj_threshold,
+            time_budget_s=args.time_budget,
         )
     print(json.dumps(summary))
     return 0
