@@ -103,3 +103,33 @@ def test_stateful_sessionizer_matches_batch(spark, events_dir):
     key = lambda r: (r.user_id, r.sess_id, r.n_events, r.duration_us)
     assert sorted(map(key, final)) == sorted(map(key, batch))
     assert len(final) > 50
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """The flagship operator through Structured Streaming: drain a
+    2-file corpus with availableNow and compare spans to the batch
+    pipeline on the same input (exactly-once sink: a second drain with
+    the same checkpoint adds nothing)."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+    from pdf_extract_spark.sources.corpus import corpus_dataframe
+    from pdf_extract_spark.streaming.extract_stream import run_extract_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_dataframe(spark, 8).write.mode("overwrite").parquet(in_dir)
+
+    run_extract_stream(spark, in_dir, out_dir, ckpt)
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        for r in extract_spans(spark.read.parquet(in_dir)).collect()
+    }
+    assert got == want and len(got) == 8
+
+    # idempotent restart: checkpoint remembers the drained files
+    run_extract_stream(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 8
