@@ -306,6 +306,59 @@ class SentenceJoinScorer:
         return self.should_join(text1, text2)
 
 
+def tune_threshold(scorer: SentenceJoinScorer, dev_lines) -> tuple[float, float]:
+    """Tune the join threshold on a sentence-split dev corpus — the
+    reference's --tune mode (sentence-join.py:107-163): every position in
+    the token stream becomes a test instance (label: is this a line
+    break?), the threshold maximizing F-measure is found by a 0..14 grid
+    then 9 rounds of binary refinement. Returns (threshold, f_measure)."""
+    words: list[str] = []
+    for line in dev_lines:
+        words.extend(line.split())
+        words.append(BREAK)
+
+    instances: list[tuple[float, bool]] = []
+    for i in range(4, len(words) - 4):
+        left_ctx = tuple(words[i - 4:i])
+        right_ctx = tuple(words[i + 1:i + 5][::-1])
+        if words[i] == BREAK:
+            left_no_break = words[i + 1]
+            right_no_break = words[i - 1]
+        else:
+            left_no_break = right_no_break = words[i]
+        score = (scorer.forward.logprob(left_ctx, BREAK)
+                 - scorer.forward.logprob(left_ctx, left_no_break))
+        score += (scorer.backward.logprob(right_ctx, BREAK)
+                  - scorer.backward.logprob(right_ctx, right_no_break))
+        instances.append((score, words[i] == BREAK))
+
+    def f_measure(threshold: float) -> float:
+        tp = fp = fn = 0
+        for score, is_break in instances:
+            pred = score > threshold  # high score → predict break
+            if pred and is_break:
+                tp += 1
+            elif pred and not is_break:
+                fp += 1
+            elif not pred and is_break:
+                fn += 1
+        precision = tp / (tp + fp + 0.01)
+        recall = tp / (tp + fn + 0.01)
+        return 2 * precision * recall / (precision + recall + 0.01)
+
+    best_t, best_f = 0.0, 0.0
+    for t in range(15):
+        f = f_measure(float(t))
+        if f > best_f:
+            best_f, best_t = f, float(t)
+    for i in range(1, 10):
+        for cand in (best_t + 1 / 2**i, best_t - 1 / 2**i):
+            f = f_measure(cand)
+            if f > best_f:
+                best_f, best_t = f, cand
+    return best_t, best_f
+
+
 def first_words(s: str, max_words: int = MAX_WORDS_JOIN) -> str:
     """First ≤(max_words+1) words — PDFExtract.java:1671-1682 getFirstWords
     (the loop bound is inclusive, so 6 words at the default 5)."""

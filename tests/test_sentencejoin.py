@@ -158,3 +158,41 @@ def test_pipeline_sj_model_prefix_and_missing(spark, tmp_path):
         "THE QUICK BROWN FOX", "JUMPS OVER THE LAZY DOG"
     ]
     assert any(w["method"] == "sentencejoin" for w in out2["warnings"])
+
+
+def test_tune_threshold_separates_perfectly(scorer):
+    from pdf_extract_spark.functions.sentencejoin import tune_threshold
+
+    t, f = tune_threshold(scorer, CORPUS[:10])
+    # toy corpus: break (+10.3) and mid-sentence (−15.7) scores are
+    # perfectly separable → near-perfect F at a threshold between them
+    assert f > 0.9
+    assert -15.0 < t < 10.0
+
+
+def test_train_tune_apply_cli(tmp_path, monkeypatch, capsys):
+    import io
+
+    from scripts.train_sentencejoin import main
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(CORPUS) + "\n", encoding="utf-8")
+    model = str(tmp_path / "m")
+
+    main(["--train", "--model", model, "--text", str(corpus)])
+    assert (tmp_path / "m.forward.lm").exists()
+    assert (tmp_path / "m.backward.lm").exists()
+
+    main(["--tune", "--model", model, "--dev", str(corpus)])
+    assert (tmp_path / "m.threshold").exists()
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO("the quick brown fox\tjumps over the lazy dog\n"
+                    "jumps over the lazy dog\tthe quick brown fox\n"
+                    "malformed-no-tab\n"),
+    )
+    capsys.readouterr()
+    main(["--apply", "--model", model])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["True", "False", "Invalid input"]
