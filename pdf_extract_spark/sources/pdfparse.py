@@ -620,10 +620,18 @@ class PDFDocument:
             for kid in self.resolve(kids) or []:
                 self._walk(kid, inh, out, seen)
             return
-        # leaf page
+        # leaf page (corrupt MediaBox/Rotate values → US-Letter defaults)
         media = self.resolve(inh.get("MediaBox")) or [0, 0, 612, 792]
-        media = [float(self.resolve(v) or 0) for v in media]
-        rotate = int(self.resolve(inh.get("Rotate")) or 0) % 360
+        try:
+            media = [float(self.resolve(v) or 0) for v in media]
+            if len(media) != 4:
+                raise ValueError
+        except (TypeError, ValueError):
+            media = [0.0, 0.0, 612.0, 792.0]
+        try:
+            rotate = int(self.resolve(inh.get("Rotate")) or 0) % 360
+        except (TypeError, ValueError):
+            rotate = 0
         width = abs(media[2] - media[0])
         height = abs(media[3] - media[1])
         if rotate in (90, 270):
