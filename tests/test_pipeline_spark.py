@@ -143,3 +143,22 @@ class TestPipelineRun:
             "run_id", "partition_id", "doc_ids_min", "doc_ids_max",
             "n_docs", "n_ok", "n_err", "wall_ms", "committed_at",
         }
+
+
+def test_extraction_plan_is_narrow(spark, tmp_path):
+    """North-rule scale contract: the extraction path over a file source
+    is a pure narrow map — scan → project → mapInPandas, with NO
+    Exchange (shuffle) anywhere, and only the two needed columns read."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+    from pdf_extract_spark.sources.corpus import corpus_dataframe
+
+    path = str(tmp_path / "corpus")
+    corpus_dataframe(spark, 4).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).withColumn("extra", __import__(
+        "pyspark.sql.functions", fromlist=["lit"]).lit(1))
+    plan = (extract_spans(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    # column pruning: the synthetic extra column must not reach the scan
+    assert "extra" not in plan.split("ReadSchema")[1][:400]
