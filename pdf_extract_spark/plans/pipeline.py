@@ -442,15 +442,23 @@ def run_pipeline(
     sj_model: str | None = None,
     sj_threshold: float | None = None,
     time_budget_s: float | None = None,
+    input_format: str = "table",
 ) -> dict:
     """spark-submit entry: read → (resume anti-join) → extract → commit.
 
+    ``input_format="pdf-dir"`` reads a directory of raw PDF files (the
+    reference's -I/-B modes) instead of an interleaved table.
     Returns a summary dict (docs in/out, run_id)."""
     from ..sources.tableio import TableIO
 
     io = TableIO(spark)
     run_id = uuid.uuid4().hex
-    df = io.read(input_ref)
+    if input_format == "pdf-dir":
+        from ..sources.corpus import read_pdf_dir
+
+        df = read_pdf_dir(spark, input_ref)
+    else:
+        df = io.read(input_ref)
     if resume and io.exists(output_ref):
         done = io.read(output_ref).select("doc_id")
         # committed doc_ids per run are small relative to input → broadcastable

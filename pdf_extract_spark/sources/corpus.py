@@ -174,3 +174,33 @@ def corpus_dataframe(spark, n_docs: int, use_fixtures: bool = True,
     if num_partitions:
         rng = rng.repartition(num_partitions)
     return rng.mapInPandas(gen, schema=schema)
+
+
+def read_pdf_dir(spark, path: str, pattern: str = "*.pdf"):
+    """S1/S3 parity source: a directory of raw PDF files → the interleaved
+    input table shape (doc_id, spans), one kind='pdf' span per file.
+
+    The reference's single-file (-I) and batch (-B work-list) modes both
+    reduce to this on Spark: ``binaryFile`` is a splittable file scan, so
+    files parallelize across tasks with no driver-side listing loop, and
+    the extraction pipeline downstream stays unchanged. doc_id is the
+    file path (unique, stable across resumes).
+    """
+    from pyspark.sql import functions as F
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    return bin_df.select(
+        F.col("path").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("pdf").alias("kind"),
+                F.base64(F.col("content")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )

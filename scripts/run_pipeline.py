@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
                          "or {prefix}.threshold)")
     ap.add_argument("--html", action="store_true",
                     help="emit alignment-optimized HTML instead of spans")
+    ap.add_argument("--input-format", choices=["table", "pdf-dir"],
+                    default="table",
+                    help="'pdf-dir' reads a directory of raw .pdf files "
+                         "(the reference's -I/-B modes) instead of an "
+                         "interleaved table")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -89,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
             sj_model=args.sj_model,
             sj_threshold=args.sj_threshold,
             time_budget_s=args.time_budget,
+            input_format=args.input_format,
         )
     print(json.dumps(summary))
     return 0

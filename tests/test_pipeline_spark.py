@@ -162,3 +162,29 @@ def test_extraction_plan_is_narrow(spark, tmp_path):
     assert "MapInPandas" in plan
     # column pruning: the synthetic extra column must not reach the scan
     assert "extra" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_read_pdf_dir_source(spark, tmp_path):
+    """S1/S3 parity: a directory of raw PDFs feeds the same pipeline."""
+    import shutil
+
+    from pdf_extract_spark.plans.pipeline import extract_spans
+    from pdf_extract_spark.sources.corpus import read_pdf_dir, synth_pdf
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(synth_pdf(1, n_pages=1, lines_per_page=4))
+    (d / "b.pdf").write_bytes(synth_pdf(2, n_pages=1, lines_per_page=4))
+    (d / "ignore.txt").write_bytes(b"not a pdf")
+    src = "/root/reference/Test/pdf-in/sample.pdf"
+    try:
+        shutil.copy(src, d / "c.pdf")
+    except OSError:
+        pass
+
+    docs = read_pdf_dir(spark, str(d))
+    rows = extract_spans(docs).collect()
+    assert len(rows) == len(list(d.glob("*.pdf")))
+    assert all(r["error"] is None for r in rows)
+    assert all(r["doc_id"].endswith(".pdf") for r in rows)
+    assert all(len(r["spans"]) > 0 for r in rows)
