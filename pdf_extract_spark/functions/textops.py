@@ -423,12 +423,22 @@ def _parse_content_array(data: bytes, pos: int):
     return out, pos
 
 
-def tokenize_content(data: bytes):
-    """Yield (kind, value) tokens: name/num/str/arr_open/arr_close/dict/op.
+def tokenize_content(data: bytes, keep_ops: frozenset | None = None):
+    """Yield (kind, value) tokens: name/num/nums/str/arr/arr_open/
+    arr_close/dict/op.
 
     Hot loop (millions of tokens for a 100-page doc): one anchored regex
     match per token with whitespace folded into the pattern, dispatch on
-    ``m.lastindex`` instead of probing each group."""
+    ``m.lastindex`` instead of probing each group.
+
+    ``keep_ops`` (bytes frozenset): operators NOT in the set are consumed
+    without a yield — drawing-heavy pages emit ~25× more path ops than
+    text ops, and each skipped yield saves a generator round-trip. Their
+    operands stay on the consumer's stack until the next kept op; that is
+    safe because every interpreter handler reads operands end-indexed
+    (num(-1), stack[-6:]) — semantics are unchanged for well-formed
+    streams. ``BI`` is always kept (inline-image payload must be
+    skipped structurally)."""
     pos = 0
     n = len(data)
     match = _CS_TOKEN.match
@@ -483,15 +493,15 @@ def tokenize_content(data: bytes):
             else:
                 pos = m.end()
         elif gi == 4:
-            op = m.group(4).decode("latin-1")
+            raw_op = m.group(4)
             pos = m.end()
-            if op == "BI":
+            if raw_op == b"BI":
                 # inline image: skip dict + binary data to EI
                 mm = _EI_RE.search(data, pos)
                 yield ("inline_image", None)
                 pos = mm.end() if mm else n
-            else:
-                yield ("op", op)
+            elif keep_ops is None or raw_op in keep_ops:
+                yield ("op", raw_op.decode("latin-1"))
         else:  # comment
             pos = m.end()
 
@@ -509,6 +519,7 @@ _HANDLED_OPS = frozenset((
     "q", "Q", "cm", "BT", "ET", "Tf", "Td", "TD", "Tm", "T*", "TL", "Tc",
     "Tw", "Tz", "Ts", "Tj", "'", '"', "TJ", "rg", "sc", "scn", "g", "k", "Do",
 ))
+_HANDLED_OPS_BYTES = frozenset(s.encode("latin-1") for s in _HANDLED_OPS)
 
 
 def _color_hex(rgb) -> str:
@@ -646,7 +657,7 @@ def _run_stream(
         except (IndexError, TypeError, ValueError):
             return 0.0
 
-    for kind, val in tokenize_content(data):
+    for kind, val in tokenize_content(data, keep_ops=_HANDLED_OPS_BYTES):
         if kind == "nums":  # batched operand run — the hottest kind
             op_budget[0] += len(val)
             if op_budget[0] > MAX_OPS_PER_PAGE:

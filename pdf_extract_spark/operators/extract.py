@@ -136,6 +136,10 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
             page_lines.extend(
                 layout.runs_to_lines([runs[k] for k in leaf], p.pageno, bi)
             )
+        # P2 islink: mark lines under /Annots Link rects (poppler tags
+        # these with <a>; islink pattern PDFExtract.java:70,1459-1461)
+        if p.link_rects:
+            _mark_links(page_lines, p.link_rects, p.height, p.rotate)
         lines.extend(layout.filter_offpage(page_lines, p.width, p.height))
 
     # §2.8 header/footer hooks — run before the built-in A4 frequency
@@ -160,6 +164,20 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
                 ln.text = t
                 kept.append(ln)
         lines = kept
+
+    # A2 modal-style restyle of link lines: the reference counts lines
+    # per fontspec class, takes the argmax, and restyles link-merged
+    # lines to the document's modal style (PDFExtract.java:743-785,
+    # 822-826) — sort-free argmax with deterministic tie-break
+    if lines and any(ln.islink for ln in lines):
+        counts: dict[tuple, int] = {}
+        for ln in lines:
+            k = (ln.font, ln.family, ln.weight, ln.style)
+            counts[k] = counts.get(k, 0) + 1
+        modal = max(sorted(counts), key=lambda k: counts[k])
+        for ln in lines:
+            if ln.islink:
+                ln.font, ln.family, ln.weight, ln.style = modal
 
     # W2 paragraph segmentation per page (lines are already in reading order)
     if lines:
@@ -255,6 +273,24 @@ def _join_lines(lines: list[Line], rules: RuleSet) -> list[Line]:
         out.extend(grp)
         start = i
     return out
+
+
+def _mark_links(page_lines: list[Line], link_rects, page_height: float,
+                rotate: int) -> None:
+    """P2: set islink on lines overlapping a Link annotation rect.
+    Rects are PDF user space (bottom-left origin); lines are device
+    space (top-left). Rotated pages are skipped (poppler's link
+    detection also degrades there)."""
+    if rotate != 0:
+        return
+    for ln in page_lines:
+        h = max(ln.bottom - ln.top, 1.0)
+        for x0, y0, x1, y1 in link_rects:
+            top, bottom = page_height - y1, page_height - y0
+            if (ln.left < x1 and ln.right > x0
+                    and min(ln.bottom, bottom) - max(ln.top, top) >= 0.5 * h):
+                ln.islink = True
+                break
 
 
 def _apply_edge_hooks(lines: list[Line], hooks: dict, pages) -> list[Line]:

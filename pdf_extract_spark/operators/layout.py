@@ -47,10 +47,12 @@ class Line:
     __slots__ = (
         "pageno", "left", "top", "right", "bottom", "size", "font", "family",
         "weight", "style", "color", "text", "angle", "block", "para", "lang",
+        "islink",
     )
 
     def __init__(self, pageno, left, top, right, bottom, size, font, family,
-                 weight, style, color, text, angle, block=0, para=0, lang=""):
+                 weight, style, color, text, angle, block=0, para=0, lang="",
+                 islink=False):
         self.pageno = pageno
         self.left = left
         self.top = top
@@ -67,6 +69,7 @@ class Line:
         self.block = block
         self.para = para
         self.lang = lang
+        self.islink = islink
 
 
 _WS_RE = re.compile(r"\s{2,}")

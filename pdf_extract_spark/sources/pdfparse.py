@@ -420,6 +420,10 @@ class PageRecord:
     rotate: int
     content: bytes  # concatenated decoded content streams
     resources: dict  # resolved /Resources dict
+    # /Annots Link rectangles in PDF user space (x0, y0, x1, y1) — the
+    # source of the reference's islink flag (P2): poppler tags text under
+    # a link annotation with <a> (PDFExtract.java:70,1459-1461)
+    link_rects: list = field(default_factory=list)
 
 
 class PDFDocument:
@@ -640,6 +644,23 @@ class PDFDocument:
         resources = self.resolve(inh.get("Resources")) or {}
         if not isinstance(resources, dict):
             resources = {}
+        links: list = []
+        annots = self.resolve(node.get("Annots"))
+        if isinstance(annots, list):
+            for a in annots:
+                a = self.resolve(a)
+                if not (isinstance(a, dict)
+                        and str(a.get("Subtype", "")) == "Link"):
+                    continue
+                rect = self.resolve(a.get("Rect"))
+                if isinstance(rect, list) and len(rect) == 4:
+                    try:
+                        x0, y0, x1, y1 = (float(self.resolve(v) or 0)
+                                          for v in rect)
+                    except (TypeError, ValueError):
+                        continue
+                    links.append((min(x0, x1), min(y0, y1),
+                                  max(x0, x1), max(y0, y1)))
         out.append(
             PageRecord(
                 pageno=len(out) + 1,
@@ -648,6 +669,7 @@ class PDFDocument:
                 rotate=rotate,
                 content=content,
                 resources=resources,
+                link_rects=links,
             )
         )
 
