@@ -67,6 +67,76 @@ DEFAULT_CONFIG: dict = {
 }
 
 
+_LOOKBEHIND_RE = re.compile(r"\(\?<([!=])((?:[^()]|\\\(|\\\))*)\)")
+
+
+def _split_top_alternatives(body: str) -> list[str]:
+    """Split a lookbehind body on top-level '|' (no nested groups in the
+    reference's rules; escaped chars respected)."""
+    out, cur, i = [], [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            cur.append(body[i:i + 2])
+            i += 2
+            continue
+        if c == "|":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def compile_compat(pattern: str) -> re.Pattern:
+    """Compile a rule regex, accepting the reference's Java dialect.
+
+    Java allows variable-width lookbehind alternations like
+    ``(?<!\\,|\\&|\\;|\\:|\\s[A-Z]{1,1})`` (PDFExtract.json absolute_eof
+    rule 1); Python's ``re`` requires fixed width per lookbehind. Each
+    alternative is individually fixed-width, so ``(?<!a|b)`` rewrites to
+    the equivalent ``(?<!a)(?<!b)``."""
+    try:
+        return re.compile(pattern)
+    except re.error:
+        def fix(m: re.Match) -> str:
+            op = m.group(1)
+            alts = _split_top_alternatives(m.group(2))
+            if len(alts) <= 1:
+                return m.group(0)
+            return "".join(f"(?<{op}{a})" for a in alts)
+
+        return re.compile(_LOOKBEHIND_RE.sub(fix, pattern))
+
+
+_DOLLAR_GROUP_RE = re.compile(r"\$(\d+)")
+
+
+def compat_replacement(rep: str) -> str:
+    """Java replacement group refs (``$1``, Common.replaceText
+    Common.java:529-542) → Python (``\\1``)."""
+    return _DOLLAR_GROUP_RE.sub(r"\\\1", rep)
+
+
+def normalize_config(cfg: dict) -> dict:
+    """Accept either our native shape ``{"languages": {name: rules}}`` or
+    the reference's shipped shape ``{"script": {...}, "language":
+    [{"name": ..., "config": {...}}]}`` (Config.java:95-145) and return
+    the native shape. Per-language ``sentencejoin_model`` paths are
+    preserved under the rules dict."""
+    if "language" in cfg and isinstance(cfg["language"], list):
+        langs: dict = {}
+        for entry in cfg["language"]:
+            name = entry.get("name")
+            rules = dict(entry.get("config") or {})
+            if name:
+                langs[str(name)] = rules
+        return {"languages": langs, "script": cfg.get("script", {})}
+    return cfg
+
+
 def load_search_replace_tab(path: str) -> list[tuple[str, str]]:
     """Parse a ``search-replace.tab`` file (one ``search<TAB>replace``
     pair per line; blank lines and lines without a tab ignored, matching
@@ -100,23 +170,30 @@ class RuleSet:
 
     def __init__(self, config: dict | None = None,
                  search_replace_tab: str | None = None):
-        cfg = config or DEFAULT_CONFIG
+        cfg = normalize_config(config or DEFAULT_CONFIG)
         self.langs: dict[str, LangRules] = {}
+        #: per-language W4 sentence-join model paths, when the config
+        #: declares them (reference ``sentencejoin_model``)
+        self.sj_models: dict[str, str] = {}
         for lang, rules in cfg.get("languages", {}).items():
             lr = LangRules()
             for pat, rep in rules.get("normalize", []):
-                lr.normalize.append((re.compile(pat), rep))
+                lr.normalize.append((compile_compat(pat), compat_replacement(rep)))
             for front, back, ch in rules.get("join_words", []):
                 lr.join_words.append(
-                    (re.compile(front), re.compile(back) if back else None, ch)
+                    (compile_compat(front),
+                     compile_compat(back) if back else None, ch)
                 )
             for front, back in rules.get("absolute_eof", []):
                 lr.absolute_eof.append(
-                    (re.compile(front) if front else None,
-                     re.compile(back) if back else None)
+                    (compile_compat(front) if front else None,
+                     compile_compat(back) if back else None)
                 )
             for pat, rep in rules.get("repair", []):
-                lr.repair.append((re.compile(pat), rep))
+                lr.repair.append((compile_compat(pat), compat_replacement(rep)))
+            model = rules.get("sentencejoin_model")
+            if model:
+                self.sj_models[lang] = str(model)
             self.langs[lang] = lr
         if search_replace_tab:
             # F3: optional search-replace.tab next to the jar in the

@@ -211,9 +211,17 @@ def extract_pdf(pdf_bytes: bytes, rules: RuleSet | None = None,
         lines = _join_lines(lines, rules)
 
     # W4 model-based sentence join (optional; reference sentenceJoin
-    # stage PDFExtract.java:289 — runs after languageId, before repair)
+    # stage PDFExtract.java:289 — runs after languageId, before repair).
+    # ``sj_scorer`` may be one scorer or a per-language dict — the
+    # in-process form of the reference's lazily-spawned one-worker-per-
+    # language cache (PDFExtract.java:1723-1754, X2)
     if lines and sj_scorer is not None:
-        lines = _sentence_join(lines, sj_scorer)
+        if isinstance(sj_scorer, dict):
+            scorer = sj_scorer.get(res.lang) or sj_scorer.get("common")
+            if scorer is not None:
+                lines = _sentence_join(lines, scorer)
+        else:
+            lines = _sentence_join(lines, sj_scorer)
 
     # F2 final repair — vectorized chain; per-language on top of common
     if lines:

@@ -171,6 +171,22 @@ def _extract_batches(
 
     rules = _get_ruleset(config)
     scorer = _get_scorer(sj_model, sj_threshold)
+    if scorer is None and getattr(rules, "sj_models", None):
+        # per-language models declared in the rule config
+        # (``sentencejoin_model``, Config.java:126) — the in-process form
+        # of the reference's one-worker-per-language cache (X2)
+        scorers: dict[str, Any] = {}
+        any_missing = False
+        for lang, prefix in rules.sj_models.items():
+            sc = _get_scorer(prefix, sj_threshold)
+            if sc == "missing":
+                any_missing = True
+            elif sc is not None:
+                scorers[lang] = sc
+        if scorers:
+            scorer = scorers
+        elif any_missing:
+            scorer = "missing"
     for pdf_batch in batches:
         out_rows = []
         for doc_id, spans in zip(pdf_batch["doc_id"], pdf_batch["spans"]):

@@ -196,3 +196,31 @@ def test_train_tune_apply_cli(tmp_path, monkeypatch, capsys):
     main(["--apply", "--model", model])
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["True", "False", "Invalid input"]
+
+
+def test_config_declared_per_language_models(spark, tmp_path):
+    """X2 parity: sentencejoin_model paths declared in the rule config
+    auto-load per executor, keyed by language (doc lang, 'common'
+    fallback)."""
+    import copy
+
+    from pdf_extract_spark.functions.textrules import DEFAULT_CONFIG
+    from pdf_extract_spark.plans.pipeline import extract_spans
+
+    prefix = str(tmp_path / "cm")
+    SentenceJoinScorer.train(UPPER).save_arpa(prefix)
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    cfg["languages"]["common"]["sentencejoin_model"] = prefix
+
+    pdf64 = base64.b64encode(
+        _two_line_pdf("THE QUICK BROWN FOX", "JUMPS OVER THE LAZY DOG")
+    ).decode()
+    df = spark.createDataFrame(
+        [("d0", [{"kind": "pdf", "text": pdf64, "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = extract_spans(df, config=cfg).collect()[0]
+    assert [s["text"] for s in out["spans"]] == [
+        "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"
+    ]

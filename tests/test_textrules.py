@@ -91,3 +91,47 @@ class TestConfig:
         rs = RuleSet(cfg)
         assert rs.normalize_str("straße", "de") == "strasse"
         assert rs.normalize_str("straße", "en") == "straße"
+
+
+class TestReferenceConfigCompat:
+    """RuleSet must consume the reference's SHIPPED PDFExtract.json
+    verbatim: its {language:[{name,config}]} shape (Config.java:95-145),
+    Java variable-width lookbehind alternations, and $1 replacement
+    group refs."""
+
+    REF_CONFIG = "/root/reference/PDFExtract.json"
+
+    @pytest.fixture(scope="class")
+    def ref_rules(self):
+        import os
+
+        from pdf_extract_spark.functions.textrules import RuleSet
+
+        if not os.path.exists(self.REF_CONFIG):
+            pytest.skip("reference config unavailable")
+        return RuleSet.from_json(self.REF_CONFIG)
+
+    def test_loads_both_languages(self, ref_rules):
+        assert "common" in ref_rules.langs
+        assert "en" in ref_rules.langs
+        assert ref_rules.sj_models.get("en") == "/home/usr/models/toy-model"
+
+    def test_normalize_ligatures(self, ref_rules):
+        assert ref_rules.normalize_str("eﬀort oﬃce ﬁt") == "effort office fit"
+
+    def test_repair_dollar_groups(self, ref_rules):
+        # '$1' backrefs: strip space before , ) ] ; and before final .
+        assert ref_rules.repair_str("word , next") == "word, next"
+        assert ref_rules.repair_str("end .") == "end."
+
+    def test_variable_width_lookbehind_eof(self, ref_rules):
+        # rule 1: front must NOT end with , & ; : or space+capital
+        assert ref_rules.is_absolute_eof("A sentence end", "Next line starts")
+        assert not ref_rules.is_absolute_eof("ends with,", "Next line")
+        assert not ref_rules.is_absolute_eof("initial A", "Next line")
+
+    def test_join_cascade_same_as_default(self, ref_rules):
+        # hyphen-split lowercase word joins with '' (rule 2)
+        assert ref_rules.join_char("broken exam-", "ple word") == ""
+        # trailing comma joins with ' ' (rule 1)
+        assert ref_rules.join_char("a, b,", "c d") == " "
