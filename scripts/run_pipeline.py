@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
                          "or {prefix}.threshold)")
     ap.add_argument("--html", action="store_true",
                     help="emit alignment-optimized HTML instead of spans")
+    ap.add_argument("--keep-br", action="store_true",
+                    help="with --html: keep <br /> line tags inside "
+                         "paragraphs (the reference's -K keepbrtags)")
     ap.add_argument("--input-format", choices=["table", "pdf-dir"],
                     default="table",
                     help="'pdf-dir' reads a directory of raw .pdf files "
@@ -75,8 +78,14 @@ def main(argv: list[str] | None = None) -> int:
         from pdf_extract_spark.sources.tableio import TableIO
 
         io = TableIO(spark)
-        out = extract_html(io.read(args.input), config=config,
-                           max_pages=args.max_pages)
+        if args.input_format == "pdf-dir":
+            from pdf_extract_spark.sources.corpus import read_pdf_dir
+
+            src_df = read_pdf_dir(spark, args.input)
+        else:
+            src_df = io.read(args.input)
+        out = extract_html(src_df, config=config,
+                           max_pages=args.max_pages, keep_br=args.keep_br)
         run_id = io.write(out, args.output)
         summary = {"run_id": run_id}
     else:
