@@ -373,3 +373,93 @@ def embedding_neardup_pairs_oracle() -> str:
         from e a join e b on a.vec_id < b.vec_id
         where {cos} >= {COSINE_TAU}
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the jaccard pair
+    graph by min-label propagation, the step a production dedup needs
+    after candidate pairs (keep one doc per component).
+
+    Scale notes: each round is one shuffle join keyed on doc_id with a
+    map-side-combinable min aggregate; the labels frame is
+    ``localCheckpoint``-ed per round so lineage doesn't grow with
+    iterations. Duplicate clusters are near-cliques (diameter ≤ 2-3),
+    so the loop converges in a handful of rounds regardless of corpus
+    size — the same shuffle pattern as the large-star/small-star CC
+    algorithm this would become on a 10^12-doc graph."""
+    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                labels["doc_id"].alias("doc_id"),
+                F.least(
+                    labels["label"], F.coalesce(neigh["nlabel"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def duplicate_clusters_oracle() -> str:
+    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", DUCK)
+    return f"""
+        with recursive {_SHINGLED_CTE_DUCK},
+        pairs as (
+            select a.doc_id as src, b.doc_id as dst
+            from sized a join sized b
+              on a.doc_id < b.doc_id
+             and least(a.n_sh, b.n_sh) >= {JACCARD_TAU} * greatest(a.n_sh, b.n_sh)
+            where {jac} >= {JACCARD_TAU}
+        ),
+        edges as (
+            select src, dst from pairs
+            union all
+            select dst, src from pairs
+        ),
+        nodes as (select distinct src as doc_id from edges),
+        reach(doc_id, label) as (
+            select doc_id, doc_id from nodes
+            union
+            select e.src, r.label from edges e join reach r on e.dst = r.doc_id
+        ),
+        lab as (select doc_id, min(label) as cluster_id from reach group by doc_id)
+        select cluster_id, cast(count(*) as bigint) as n_docs,
+               min(doc_id) as min_doc, max(doc_id) as max_doc
+        from lab group by cluster_id
+    """

@@ -18,7 +18,8 @@ Grouping (SURVEY.md §2 ids in parens):
   training-data pipeline (operators/dedup.py, similarity.py,
   functions/textstats.py docstrings carry the scale design)
     dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
-    dedup_simhash, dedup_embedding_cosine, simhash_fingerprints,
+    dedup_simhash, dedup_embedding_cosine, dedup_clusters (connected
+    components over the pair graph), simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk,
     text_token_stats, text_quality, text_langid, text_fingerprint
 
@@ -444,6 +445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash": dedup.simhash_pairs,
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+    "dedup_clusters": dedup.duplicate_clusters,
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -472,6 +474,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle(),
     "dedup_simhash": dedup.simhash_pairs_oracle(),
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
+    "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
     "ann_ivf_topk": similarity.ann_ivf_topk_oracle(),
