@@ -48,6 +48,46 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "als bij maar om uit dan zij nog naar dit wel worden door over ze "
         "tot je mijn kan geen wordt".split()
     ),
+    "pl": frozenset(
+        "w i na się nie z do to że jest jak przez dla od po przy za o ale "
+        "czy tak jego być już tylko co ich może został która które tym był "
+        "oraz przed także więc jednak".split()
+    ),
+    "sv": frozenset(
+        "och i att det som en på är av för med till den har de inte om ett "
+        "han var men sig från vi så kan man när år under också eller sin "
+        "efter vid mot skulle kommer".split()
+    ),
+    "da": frozenset(
+        "og i at det er en til af på de med den for som der har ikke et "
+        "var han men sig fra vi så kan man når også eller sin efter ved "
+        "skal blev bliver hvor".split()
+    ),
+    "ro": frozenset(
+        "de la a în și cu pentru pe este care nu mai se din sau ca fi fost "
+        "dar au prin despre între acest această după fiind lor dacă unei "
+        "unui către sunt era fie".split()
+    ),
+    "cs": frozenset(
+        "a se na v je že o s z do k i ale po jako za být byl jsou bylo "
+        "tak jeho její při před této který která které však pro od nebo "
+        "podle již může".split()
+    ),
+    "tr": frozenset(
+        "ve bir bu da de için ile olarak daha gibi çok en ne kadar sonra "
+        "ancak olan her ise var yok ama veya bu nun ki diye göre arasında "
+        "üzerine kendi olduğu".split()
+    ),
+    "fi": frozenset(
+        "ja on ei se että oli hän mutta ovat kun myös niin jos tai sen "
+        "joka ole kuin mukaan vuonna jo vain sitä tämä hänen olla voi "
+        "kanssa sekä jotka".split()
+    ),
+    "hu": frozenset(
+        "a az és hogy nem is egy meg volt ha de el ki mint még csak már "
+        "vagy fel le be ezt arra ezek azok pedig után előtt között által "
+        "ennek annak lehet".split()
+    ),
 }
 
 # scripts that decide without stopwords
@@ -59,6 +99,8 @@ _SCRIPT_RANGES = [
     ("ar", re.compile(r"[\u0600-\u06ff]")),
     ("el", re.compile(r"[\u0370-\u03ff]")),
     ("he", re.compile(r"[\u0590-\u05ff]")),
+    ("th", re.compile(r"[\u0e00-\u0e7f]")),
+    ("hi", re.compile(r"[\u0900-\u097f]")),
 ]
 
 _STRIP_RE = re.compile(r"[0-9\"'\\.,:;!?()\[\]{}&%#@*/+=<>|~^$_-]+")

@@ -48,3 +48,28 @@ class TestDetect:
 
     def test_reliable_gated(self):
         assert langid.detect_reliable("the cat") is None  # too short
+
+
+def test_extended_language_coverage():
+    from pdf_extract_spark.functions.langid import detect
+
+    cases = {
+        "pl": "w tym roku nie było to jednak tak łatwe jak się przez "
+              "wiele lat wydawało że jest dla nas",
+        "sv": "och det är en av de viktigaste frågorna som vi har att "
+              "ta ställning till i år för att",
+        "da": "og det er en af de vigtigste ting som vi skal tage "
+              "stilling til når vi ikke har et",
+        "ro": "în acest an nu a fost la fel de ușor cum se credea că "
+              "este pentru noi și pentru care",
+        "tr": "bu yıl için en önemli konulardan bir tanesi de bu "
+              "olarak daha çok ve ne kadar ile",
+        "fi": "ja se on yksi tärkeimmistä asioista joka meidän on "
+              "otettava huomioon kun ei ole myös niin",
+        "hu": "és ez az egyik legfontosabb kérdés hogy nem csak egy "
+              "meg volt ha de el ki mint még",
+        "th": "ภาษาไทยเป็นภาษาราชการของประเทศไทยและมีผู้พูดหลายสิบล้านคน",
+        "hi": "हिन्दी भारत की आधिकारिक भाषाओं में से एक है और करोड़ों लोग इसे बोलते हैं",
+    }
+    for lang, text in cases.items():
+        assert detect(text) == lang, (lang, detect(text))
