@@ -174,3 +174,193 @@ def multimodal_features_oracle() -> str:
                'stub:image' as decoder
         from m
     """
+
+
+# ---------------------------------------------------------------------------
+# resize (one-to-one) and frame sampling (one-to-many) plumbing
+# ---------------------------------------------------------------------------
+
+RESIZE_MAX_DIM = 512
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame], decoders: dict,
+                    max_dim: int) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in RESIZE_SCHEMA.fields]
+    for b in batches:
+        out = []
+        for doc_id, ref, kind, payload in zip(
+            b["doc_id"], b["media_ref"], b["media_kind"], b["payload"]
+        ):
+            payload = bytes(payload) if payload is not None else b""
+            feat = decoders.get(kind, _decode_stub)(payload, str(ref), str(kind))
+            w, h = int(feat["width"]), int(feat["height"])
+            m = max(w, h)
+            if m > max_dim:
+                # exact integer downscale (SQL-replayable — no float scale)
+                ow = max(1, (w * max_dim) // m)
+                oh = max(1, (h * max_dim) // m)
+            else:
+                ow, oh = w, h
+            # STUB: payload passes through; a real deployment registers a
+            # pixel transform via register_decoder and re-encodes here
+            out.append({"doc_id": doc_id, "media_ref": ref, "width": w,
+                        "height": h, "out_width": ow, "out_height": oh,
+                        "payload": payload})
+        yield pd.DataFrame(out, columns=cols)
+
+
+def image_resize(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Bounded-resolution resize plan: (payload, dims) → (payload, target
+    dims), aspect-preserving, longest side ≤ ``max_dim``. Same narrow
+    Arrow-batched shape as media_features; the per-image pixel work is a
+    registered decoder at deployment, a deterministic stub here."""
+    decoders = dict(_DECODERS)
+    return media.select(
+        "doc_id", "media_ref", "media_kind", "payload"
+    ).mapInPandas(
+        lambda it: _resize_batches(it, decoders, max_dim),
+        schema=RESIZE_SCHEMA,
+    )
+
+
+FRAME_INTERVAL_MS = 5_000
+FRAME_MAX = 8
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("timestamp_ms", LongType()),
+        StructField("frame_ref", StringType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame],
+                   interval_ms: int, max_frames: int) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+    for b in batches:
+        out = []
+        for doc_id, ref, payload in zip(
+            b["doc_id"], b["media_ref"], b["payload"]
+        ):
+            payload = bytes(payload) if payload is not None else b""
+            ph = polyhash_bytes(payload)
+            # STUB duration: real deployments read the container header
+            duration_ms = 1_000 + (ph % 59_000)
+            n = min(max_frames, 1 + duration_ms // interval_ms)
+            for i in range(n):
+                out.append({
+                    "doc_id": doc_id, "media_ref": ref, "frame_idx": i,
+                    "timestamp_ms": i * interval_ms,
+                    "frame_ref": f"{ref}#f{i}",
+                    "frame_hash": (ph * (i + 1) + i) % PRIME,
+                })
+        yield pd.DataFrame(out, columns=cols)
+
+
+def video_frame_sample(media: DataFrame,
+                       interval_ms: int = FRAME_INTERVAL_MS,
+                       max_frames: int = FRAME_MAX) -> DataFrame:
+    """Frame sampling: one input row → N frame rows (variable fan-out
+    inside ``mapInPandas`` — the batch shape real frame extraction
+    needs; output row count is NOT the input row count, which Spark
+    permits because mapInPandas yields arbitrary batches). Frame decode
+    itself is a deployment-registered transform; the stub derives a
+    deterministic duration/hash per frame so the whole fan-out is
+    SQL-replayable."""
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        lambda it: _frame_batches(it, interval_ms, max_frames),
+        schema=FRAME_SCHEMA,
+    )
+
+
+def multimodal_resize(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: aspect-preserving integer resize dims over
+    the synthesized media table (payload column dropped for the oracle
+    hash — binary payloads are pass-through)."""
+    return image_resize(media_from_documents(spark, sf_dir)).drop("payload")
+
+
+def multimodal_resize_oracle() -> str:
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import DUCK
+
+    href = K.polyhash("media_ref", DUCK)
+    return f"""
+        with m as (
+            select cast(doc_id as varchar) as doc_id,
+                   concat('img://', source, '/', cast(doc_id as varchar))
+                       as media_ref
+            from documents
+        ), dims as (
+            select doc_id, media_ref,
+                   cast(64 + ({href} % 1856) as int) as width,
+                   cast(64 + (({href} * {K.BASE} + 7) % {K.PRIME}) % 1016
+                        as int) as height
+            from m
+        )
+        select doc_id, media_ref, width, height,
+               cast(case when greatest(width, height) > {RESIZE_MAX_DIM}
+                    then greatest(1, (width * {RESIZE_MAX_DIM})
+                                     // greatest(width, height))
+                    else width end as int) as out_width,
+               cast(case when greatest(width, height) > {RESIZE_MAX_DIM}
+                    then greatest(1, (height * {RESIZE_MAX_DIM})
+                                     // greatest(width, height))
+                    else height end as int) as out_height
+        from dims
+    """
+
+
+def multimodal_frames(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: deterministic frame fan-out (one-to-many
+    pandas-UDF path cross-checked against a lateral generate_series)."""
+    return video_frame_sample(media_from_documents(spark, sf_dir))
+
+
+def multimodal_frames_oracle() -> str:
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import DUCK
+
+    ph = K.polyhash("text", DUCK)
+    return f"""
+        with m as (
+            select cast(doc_id as varchar) as doc_id,
+                   concat('img://', source, '/', cast(doc_id as varchar))
+                       as media_ref,
+                   {ph} as ph
+            from documents
+        ), sized as (
+            select doc_id, media_ref, ph,
+                   least({FRAME_MAX},
+                         1 + (1000 + (ph % 59000)) // {FRAME_INTERVAL_MS})
+                       as n_frames
+            from m
+        )
+        , exploded as (
+            select doc_id, media_ref, ph,
+                   unnest(range(0, n_frames)) as i
+            from sized
+        )
+        select doc_id, media_ref,
+               cast(i as int) as frame_idx,
+               cast(i * {FRAME_INTERVAL_MS} as bigint) as timestamp_ms,
+               concat(media_ref, '#f', cast(i as varchar)) as frame_ref,
+               cast((ph * (i + 1) + i) % {K.PRIME} as bigint) as frame_hash
+        from exploded
+    """

@@ -456,6 +456,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": text_normalize,
     "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
+    "multimodal_resize": multimodal.multimodal_resize,
+    "multimodal_frames": multimodal.multimodal_frames,
     "extract_spans_synth": extract_spans_synth,
 }
 
@@ -485,5 +487,7 @@ ORACLES: dict[str, str] = {
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_context_words": TEXT_CONTEXT_WORDS_SQL,
     "multimodal_features": multimodal.multimodal_features_oracle(),
+    "multimodal_resize": multimodal.multimodal_resize_oracle(),
+    "multimodal_frames": multimodal.multimodal_frames_oracle(),
     # extract_spans_synth: non-SQL-expressible → rows-only check
 }

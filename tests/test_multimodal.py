@@ -69,3 +69,47 @@ def test_media_from_documents_shape(spark):
     row = m.orderBy("doc_id").first()
     assert row.media_ref.startswith("img://")
     assert isinstance(row.payload, (bytes, bytearray))
+
+
+def test_image_resize_bounds_and_aspect(spark):
+    from pdf_extract_spark.operators.multimodal import (
+        RESIZE_MAX_DIM,
+        image_resize,
+        media_from_documents,
+    )
+
+    rows = image_resize(
+        media_from_documents(spark, "/root/testdata/sf0.001").limit(40)
+    ).collect()
+    assert rows
+    for r in rows:
+        assert max(r["out_width"], r["out_height"]) <= max(
+            RESIZE_MAX_DIM, min(r["width"], r["height"]))
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
+        if max(r["width"], r["height"]) <= RESIZE_MAX_DIM:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:
+            # aspect preserved within integer rounding
+            lhs = r["out_width"] * r["height"]
+            rhs = r["out_height"] * r["width"]
+            assert abs(lhs - rhs) <= max(r["width"], r["height"])
+
+
+def test_video_frame_sample_fanout(spark):
+    from pdf_extract_spark.operators.multimodal import (
+        FRAME_MAX,
+        media_from_documents,
+        video_frame_sample,
+    )
+
+    media = media_from_documents(spark, "/root/testdata/sf0.001").limit(25)
+    frames = video_frame_sample(media).collect()
+    per_ref = {}
+    for f in frames:
+        per_ref.setdefault(f["media_ref"], []).append(f)
+    assert len(per_ref) == 25
+    for ref, fs in per_ref.items():
+        assert 1 <= len(fs) <= FRAME_MAX
+        idxs = sorted(f["frame_idx"] for f in fs)
+        assert idxs == list(range(len(fs)))  # dense, 0-based
+        assert all(f["frame_ref"] == f"{ref}#f{f['frame_idx']}" for f in fs)
