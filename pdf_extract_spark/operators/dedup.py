@@ -379,10 +379,9 @@ def embedding_neardup_pairs_oracle() -> str:
 # duplicate clusters (connected components over the near-dup pair graph)
 # ---------------------------------------------------------------------------
 
-def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs → clusters: connected components over the jaccard pair
-    graph by min-label propagation, the step a production dedup needs
-    after candidate pairs (keep one doc per component).
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (doc_id, label) over the jaccard pair
+    graph by min-label propagation.
 
     Scale notes: each round is one shuffle join keyed on doc_id with a
     map-side-combinable min aggregate; the labels frame is
@@ -429,11 +428,61 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
-    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+    return labels
+
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: one row per duplicate component (id, size,
+    extrema)."""
+    return _cc_labels(spark, sf_dir).groupBy(
+        F.col("label").alias("cluster_id")
+    ).agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step: the surviving document set after near-dedup —
+    every unclustered doc plus the canonical (min-doc_id) member of each
+    duplicate cluster. At scale this is the filter a training-data
+    pipeline runs before tokenization: a left-anti join of the corpus
+    against the non-canonical members (small relative to the corpus →
+    broadcastable)."""
+    labels = _cc_labels(spark, sf_dir)
+    losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def dedup_keep_canonical_oracle() -> str:
+    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", DUCK)
+    return f"""
+        with recursive {_SHINGLED_CTE_DUCK},
+        pairs as (
+            select a.doc_id as src, b.doc_id as dst
+            from sized a join sized b
+              on a.doc_id < b.doc_id
+             and least(a.n_sh, b.n_sh) >= {JACCARD_TAU} * greatest(a.n_sh, b.n_sh)
+            where {jac} >= {JACCARD_TAU}
+        ),
+        edges as (
+            select src, dst from pairs
+            union all
+            select dst, src from pairs
+        ),
+        nodes as (select distinct src as doc_id from edges),
+        reach(doc_id, label) as (
+            select doc_id, doc_id from nodes
+            union
+            select e.src, r.label from edges e join reach r on e.dst = r.doc_id
+        ),
+        lab as (select doc_id, min(label) as cluster_id from reach group by doc_id)
+        select d.doc_id from documents d
+        left join lab on d.doc_id = lab.doc_id
+        where lab.doc_id is null or lab.cluster_id = d.doc_id
+    """
 
 
 def duplicate_clusters_oracle() -> str:

@@ -19,7 +19,8 @@ Grouping (SURVEY.md §2 ids in parens):
   functions/textstats.py docstrings carry the scale design)
     dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
     dedup_simhash, dedup_embedding_cosine, dedup_clusters (connected
-    components over the pair graph), simhash_fingerprints,
+    components over the pair graph), dedup_keep_canonical (the apply
+    step: surviving corpus after near-dedup), simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk,
     text_token_stats, text_quality, text_langid, text_fingerprint
 
@@ -446,6 +447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup.simhash_pairs,
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
     "dedup_clusters": dedup.duplicate_clusters,
+    "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -477,6 +479,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": dedup.simhash_pairs_oracle(),
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
+    "dedup_keep_canonical": dedup.dedup_keep_canonical_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
     "ann_ivf_topk": similarity.ann_ivf_topk_oracle(),
