@@ -29,7 +29,7 @@ def _corrupt(src: bytes, seed: int) -> bytes:
     return bytes(data)
 
 
-@pytest.mark.parametrize("fixture", ["sample.pdf", "sample2.pdf"])
+@pytest.mark.parametrize("fixture", ["sample.pdf", "sample2.pdf", "sample3.pdf"])
 def test_corrupted_pdfs_never_raise(fixture):
     src = fixture_bytes(fixture)
     if src is None:
@@ -37,6 +37,15 @@ def test_corrupted_pdfs_never_raise(fixture):
     for seed in range(80):
         res = extract_pdf(_corrupt(src, seed), max_pages=8)
         assert res is not None  # DocResult with spans or error — no throw
+
+
+def test_corrupted_encrypted_pdf_never_raises():
+    from tests.test_pdfcrypt import _perm, make_encrypted_pdf
+
+    src = make_encrypted_pdf(2, 3, 128, _perm(3, 5, 12))
+    for seed in range(80):
+        res = extract_pdf(_corrupt(src, seed), max_pages=8)
+        assert res is not None
 
 
 def test_garbage_inputs_never_raise():
