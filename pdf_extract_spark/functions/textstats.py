@@ -32,10 +32,14 @@ MIN_QUALITY_TOKENS = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-file input → repartition so the hash expressions parallelize
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # single-file input → repartition so the hash expressions parallelize;
+    # gated on the scan's partition count so an already-parallel
+    # production scan keeps its partitioning (no gratuitous shuffle)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _tok_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,10 +50,15 @@ COSINE_TAU = 0.45
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the test tables are single small parquet files → a single input
     # partition; hashing is CPU-bound, so spread rows across the cluster
-    # first (a ~KB/row shuffle, repaid ~cores× on the hash stage)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # first (a ~KB/row shuffle, repaid ~cores× on the hash stage).
+    # GATED on the scan's actual partition count: a production-scale scan
+    # is already parallel, and an unconditional repartition would insert a
+    # full shuffle of the corpus for nothing.
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +384,43 @@ def embedding_neardup_pairs_oracle() -> str:
 # duplicate clusters (connected components over the near-dup pair graph)
 # ---------------------------------------------------------------------------
 
+def _lsh_pairs_ctes_duck() -> str:
+    """DuckDB CTE chain producing the verified MinHash-LSH pair graph
+    (``pairs(src, dst)``) — the same banded-candidate + exact-jaccard
+    verify that ``minhash_lsh_pairs`` runs in Spark, so the cluster
+    oracles check the actual scale-path edge source bit-for-bit."""
+    mh_cols = ", ".join(
+        f"{K.minhash('sh', j, DUCK)} as mh{j}" for j in range(N_MINHASH)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, {bi} as band_idx, concat_ws(',', {cols}) as band_key"
+        " from sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
+    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", DUCK)
+    return f"""
+        sig as (select doc_id, sh, n_sh, {mh_cols} from sized),
+        bands as ({band_rows}),
+        cand as (
+            select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_key = b.band_key
+             and a.doc_id < b.doc_id
+        ),
+        pairs as (
+            select cand.doc_id_a as src, cand.doc_id_b as dst
+            from cand
+            join sized sa on cand.doc_id_a = sa.doc_id
+            join sized sb on cand.doc_id_b = sb.doc_id
+            where {jac} >= {JACCARD_TAU}
+        )
+    """
+
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id, label) over the jaccard pair
     graph by min-label propagation.
@@ -389,8 +431,15 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations. Duplicate clusters are near-cliques (diameter ≤ 2-3),
     so the loop converges in a handful of rounds regardless of corpus
     size — the same shuffle pattern as the large-star/small-star CC
-    algorithm this would become on a 10^12-doc graph."""
-    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+    algorithm this would become on a 10^12-doc graph.
+
+    Edge source is ``minhash_lsh_pairs`` — the O(n·bands) banded
+    candidate join with exact-jaccard verify — NOT the all-pairs theta
+    join (``ngram_jaccard_pairs``), which is the small-scale exactness
+    oracle only. Both apply the identical jaccard ≥ τ verify, so at any
+    scale where LSH recall is complete the labelings coincide; at 10^12
+    docs only the LSH plan survives."""
+    edges = minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
     )
     sym = edges.union(
@@ -448,25 +497,19 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     every unclustered doc plus the canonical (min-doc_id) member of each
     duplicate cluster. At scale this is the filter a training-data
     pipeline runs before tokenization: a left-anti join of the corpus
-    against the non-canonical members (small relative to the corpus →
-    broadcastable)."""
+    against the non-canonical members. No forced broadcast — on a
+    near-dup-heavy corpus the loser set is a large fraction of the
+    corpus, so AQE decides broadcast-vs-shuffle by measured size."""
     labels = _cc_labels(spark, sf_dir)
     losers = labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
     docs = _docs(spark, sf_dir).select("doc_id")
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 def dedup_keep_canonical_oracle() -> str:
-    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", DUCK)
     return f"""
         with recursive {_SHINGLED_CTE_DUCK},
-        pairs as (
-            select a.doc_id as src, b.doc_id as dst
-            from sized a join sized b
-              on a.doc_id < b.doc_id
-             and least(a.n_sh, b.n_sh) >= {JACCARD_TAU} * greatest(a.n_sh, b.n_sh)
-            where {jac} >= {JACCARD_TAU}
-        ),
+        {_lsh_pairs_ctes_duck()},
         edges as (
             select src, dst from pairs
             union all
@@ -486,16 +529,9 @@ def dedup_keep_canonical_oracle() -> str:
 
 
 def duplicate_clusters_oracle() -> str:
-    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", DUCK)
     return f"""
         with recursive {_SHINGLED_CTE_DUCK},
-        pairs as (
-            select a.doc_id as src, b.doc_id as dst
-            from sized a join sized b
-              on a.doc_id < b.doc_id
-             and least(a.n_sh, b.n_sh) >= {JACCARD_TAU} * greatest(a.n_sh, b.n_sh)
-            where {jac} >= {JACCARD_TAU}
-        ),
+        {_lsh_pairs_ctes_duck()},
         edges as (
             select src, dst from pairs
             union all

@@ -115,15 +115,28 @@ OUTPUT_SCHEMA = StructType(
 # lane (~1.5 MB of PDF ≈ the reference's skew threshold territory).
 BIG_DOC_B64_CHARS = 2_000_000
 
-_RULESET_CACHE: dict[int, Any] = {}
+_RULESET_CACHE: dict[str, Any] = {}
 _SCORER_CACHE: dict[str, Any] = {}
 
 
 def _get_ruleset(config: dict | None):
-    """Compile the broadcast rule config once per executor process."""
+    """Compile the broadcast rule config once per executor process.
+
+    Cache key is a content digest, not ``id(config)``: a long-lived
+    executor Python worker serves many jobs, and after one job's config
+    dict is garbage-collected a different config can land at the same
+    object id and would silently receive the stale compiled ruleset."""
+    import hashlib
+    import json
+
     from ..functions.textrules import RuleSet
 
-    key = id(config) if config is not None else 0
+    key = (
+        hashlib.sha256(
+            json.dumps(config, sort_keys=True, default=str).encode()
+        ).hexdigest()
+        if config is not None else ""
+    )
     rs = _RULESET_CACHE.get(key)
     if rs is None:
         rs = RuleSet(config)
@@ -383,29 +396,55 @@ def _html_batches(
     for b in batches:
         rows = []
         for doc_id, spans in zip(b["doc_id"], b["spans"]):
-            html = ""
-            err = None
+            # A document may carry several pdf spans: accumulate every
+            # successful span's lines (pagenos offset so pages stay
+            # distinct and ordered) and render ONE combined document;
+            # per-span errors are reported alongside, never paired with
+            # another span's html as if they were one extraction.
             items = sorted(spans if spans is not None else [],
                            key=lambda s: s["offset"])
+            all_lines: list = []
+            lang_counts: dict[str, int] = {}
+            warnings: list = []
+            errs: list[str] = []
+            permission = None
+            page_base = 0
             for span in items:
                 if span["kind"] != "pdf":
                     continue
                 pdf = _pdf_payload(span)
                 if pdf is None:
-                    err = "pdf: missing payload"
-                    html = render_error(err)
+                    errs.append("pdf: missing payload")
                     continue
                 res = extract_pdf(pdf, rules, max_pages=max_pages,
                                   keep_lines=True)
                 if res.error:
-                    err = res.error
-                    html = render_error(err)
-                else:
-                    html = render_document(
-                        res.lines or [], res.lang, res.lang_dist,
-                        res.warnings, keep_br=keep_br,
-                        permission=res.permission,
-                    )
+                    errs.append(res.error)
+                    continue
+                span_max_page = 0
+                for ln in res.lines or []:
+                    ln.pageno += page_base
+                    span_max_page = max(span_max_page, ln.pageno)
+                    all_lines.append(ln)
+                page_base = max(page_base, span_max_page, page_base + res.n_pages)
+                for l, _pct, c in res.lang_dist:
+                    lang_counts[l] = lang_counts.get(l, 0) + c
+                warnings.extend(res.warnings)
+                if res.permission is not None:
+                    permission = res.permission
+            if all_lines or not errs:
+                total = sum(lang_counts.values())
+                ordered = sorted(lang_counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+                lang = ordered[0][0] if ordered else ""
+                lang_dist = [(l, c * 100.0 / total, c) for l, c in ordered]
+                html = render_document(
+                    all_lines, lang, lang_dist, warnings,
+                    keep_br=keep_br, permission=permission,
+                )
+            else:
+                html = render_error("; ".join(errs))
+            err = "; ".join(errs) if errs else None
             rows.append({"doc_id": str(doc_id), "html": html, "error": err})
         yield pd.DataFrame(rows, columns=["doc_id", "html", "error"])
 
@@ -477,8 +516,10 @@ def run_pipeline(
         df = io.read(input_ref)
     if resume and io.exists(output_ref):
         done = io.read(output_ref).select("doc_id")
-        # committed doc_ids per run are small relative to input → broadcastable
-        df = df.join(F.broadcast(done), "doc_id", "left_anti")
+        # no forced broadcast: on a resume late in a large run the
+        # committed set approaches the full corpus, and a forced hint
+        # bypasses AQE's size check — let AQE pick broadcast vs shuffle
+        df = df.join(done, "doc_id", "left_anti")
     out = extract_spans(df, config=config, max_pages=max_pages,
                         num_partitions=num_partitions,
                         sj_model=sj_model, sj_threshold=sj_threshold,

@@ -180,14 +180,19 @@ def boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the SQL-checkable form of the per-doc repeated-line strip in
     operators/layout.py boilerplate_indices)."""
     docs = _t(spark, sf_dir, "documents")
-    total = docs.count()  # tiny driver-side scalar, embedded as literal
+    # the doc-count threshold is a 1-row aggregate cross-joined in (AQE
+    # broadcasts it) — NOT a driver-side .count(), which would cost a
+    # second full scan of the corpus at query-construction time
+    total = docs.agg(F.count("*").alias("n_total"))
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
     return (
         tok.groupBy("token")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= BOILER_DOC_FRAC * total)
+        .crossJoin(total)
+        .filter(F.col("n_docs") >= BOILER_DOC_FRAC * F.col("n_total"))
+        .select("token", "n_docs")
     )
 
 

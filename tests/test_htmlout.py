@@ -64,3 +64,47 @@ def test_extract_html_operator(spark):
     assert len(ok) == 6
     assert all(r.html.startswith("<html>") for r in ok)
     assert all('<div id="page1"' in r.html for r in ok)
+
+
+def _two_span_doc(doc_id, payloads):
+    import base64
+
+    spans = []
+    for i, p in enumerate(payloads):
+        spans.append({
+            "kind": "pdf",
+            "text": base64.b64encode(p).decode("ascii") if p else "",
+            "media_ref": "",
+            "offset": i,
+        })
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def test_extract_html_multi_pdf_span(spark):
+    """A doc with several pdf spans renders ONE combined document: both
+    spans' pages appear, the second span's pages offset past the first
+    (regression: the sink used to keep only the LAST span's html)."""
+    import re
+
+    from pdf_extract_spark.plans.pipeline import extract_html
+    from pdf_extract_spark.sources.corpus import synth_pdf
+
+    doc = _two_span_doc("d0", [synth_pdf(1, n_pages=2), synth_pdf(2, n_pages=1)])
+    row = extract_html(spark.createDataFrame([doc])).collect()[0]
+    assert row.error is None
+    pages = sorted(set(int(m) for m in re.findall(r'<div id="page(\d+)"', row.html)))
+    assert pages == [1, 2, 3], row.html[:800]
+
+
+def test_extract_html_span_error_then_success(spark):
+    """If an earlier pdf span fails and a later one succeeds, the html is
+    the successful span's document and the error names the failure —
+    never a (good html, stale error) mix presented as one extraction."""
+    from pdf_extract_spark.plans.pipeline import extract_html
+    from pdf_extract_spark.sources.corpus import synth_pdf
+
+    doc = _two_span_doc("d1", [b"%PDF-not really a pdf", synth_pdf(3, n_pages=1)])
+    row = extract_html(spark.createDataFrame([doc])).collect()[0]
+    assert '<div id="page1"' in row.html
+    assert "<error>" not in row.html
+    assert row.error  # the failed span is still reported

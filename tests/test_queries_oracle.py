@@ -161,3 +161,32 @@ def test_broadcast_join_is_broadcast(spark):
 
     plan = broadcast_dim_join(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_apply_plan_shape(spark):
+    """VERDICT r1 'done' criterion: the cluster-apply pair must run on
+    the LSH edge source with no nested-loop/cartesian stage and no
+    forced broadcast of the loser set (AQE decides by size)."""
+    from pdf_extract_spark.operators.dedup import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    # edge source itself: equi-joins only
+    lsh_plan = minhash_lsh_pairs(spark, SF_DIR)._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+    assert "CartesianProduct" not in lsh_plan
+
+    surv = dedup_keep_canonical(spark, SF_DIR)
+    plan = surv._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # no forced broadcast hint in the logical plan of the anti-join
+    assert "ResolvedHint" not in plan
+
+    clus_plan = (
+        duplicate_clusters(spark, SF_DIR)._jdf.queryExecution().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in clus_plan
+    assert "CartesianProduct" not in clus_plan
