@@ -5,13 +5,26 @@ The reference calls the cld3 neural net over JNI per line
 We replace it with a deterministic stopword + character-profile scorer —
 pure Python/pandas, broadcast-friendly, no native deps. Accuracy is lower
 than cld3 but deterministic and adequate for doc-majority voting (A3).
+
+Coverage (~50 languages, toward cld3's breadth):
+  * 30 Latin-script languages by inverted-index stopword vote (one pass
+    over the line's words regardless of language count);
+  * Cyrillic script sub-classified ru/uk/bg/sr by distinctive letters
+    (uk: і ї є ґ; sr: ђ ћ џ љ њ ј) then stopword vote;
+  * Arabic script sub-classified ar/fa/ur by distinctive letters
+    (fa: پ چ ژ گ; ur: ٹ ڑ ے ہ ں);
+  * 18 further single-language scripts (CJK, Greek, Hebrew, Thai, the
+    Indic family, Georgian, Armenian, Amharic, Khmer, Lao, Myanmar).
 """
 
 from __future__ import annotations
 
 import re
 
-# Top-frequency function words per language (public linguistic knowledge).
+# Top-frequency function words per Latin-script language (public
+# linguistic knowledge). Dict insertion order is the tie-break priority:
+# earlier languages win ties (en first — the majority-language prior for
+# the fixture corpora; same semantics the 15-language version had).
 _STOPWORDS: dict[str, frozenset[str]] = {
     "en": frozenset(
         "the of and to in is was for that it with as on be at by this have "
@@ -63,6 +76,11 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "var han men sig fra vi så kan man når også eller sin efter ved "
         "skal blev bliver hvor".split()
     ),
+    "no": frozenset(
+        "og i at det er en til av på de med den for som har ikke et var "
+        "han men seg fra vi så kan man når også eller sin etter ved skal "
+        "ble blir hvor være om noe denne".split()
+    ),
     "ro": frozenset(
         "de la a în și cu pentru pe este care nu mai se din sau ca fi fost "
         "dar au prin despre între acest această după fiind lor dacă unei "
@@ -72,6 +90,19 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "a se na v je že o s z do k i ale po jako za být byl jsou bylo "
         "tak jeho její při před této který která které však pro od nebo "
         "podle již může".split()
+    ),
+    "sk": frozenset(
+        "a sa na v je že o s z do k i ale po ako za byť bol sú bolo tak "
+        "jeho jej pri pred tejto ktorý ktorá ktoré však pre od alebo "
+        "podľa už môže aj keď".split()
+    ),
+    "sl": frozenset(
+        "je in na za se da so z v ki pa po tudi kot če še lahko med bi ni "
+        "bilo bil so bila iz pri do njegov njen ta to te ter".split()
+    ),
+    "hr": frozenset(
+        "je i u na se da za su s od kao što ali iz ili bi biti će samo "
+        "kada nije ima vrlo te koji koja koje sve više jedan godine".split()
     ),
     "tr": frozenset(
         "ve bir bu da de için ile olarak daha gibi çok en ne kadar sonra "
@@ -83,24 +114,129 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "joka ole kuin mukaan vuonna jo vain sitä tämä hänen olla voi "
         "kanssa sekä jotka".split()
     ),
+    "et": frozenset(
+        "ja on et ei ka see oli kui aga oma mis seda nagu välja üle kõik "
+        "siis ning sest selle olid oleks veel juba ainult pärast vastu".split()
+    ),
     "hu": frozenset(
         "a az és hogy nem is egy meg volt ha de el ki mint még csak már "
         "vagy fel le be ezt arra ezek azok pedig után előtt között által "
         "ennek annak lehet".split()
     ),
+    "lt": frozenset(
+        "ir yra kad į su tai iš bet kaip buvo už taip pat apie po metų "
+        "jau gali dar tik jis ji jo jos labai visi kurie prie nuo".split()
+    ),
+    "lv": frozenset(
+        "un ir ka par ar no uz to kā arī bet tika var šī tas vai pēc gada "
+        "savu viņš viņa tie šis esot bija būt ļoti visi kuri pie".split()
+    ),
+    "id": frozenset(
+        "yang dan di dengan untuk tidak dari dalam akan pada juga ini itu "
+        "adalah ke bisa ada oleh sebagai telah atau saya kita mereka "
+        "tersebut karena sudah lebih harus bahwa".split()
+    ),
+    "vi": frozenset(
+        "của và là có không được trong cho người những với một này để khi "
+        "đã các về như thì cũng ra đến nhiều năm theo tại trên sau".split()
+    ),
+    "ca": frozenset(
+        "de la que el en i els un una per amb no és del al més com hi ha "
+        "són aquest aquesta dels les seva seu també però molt fins".split()
+    ),
+    "sq": frozenset(
+        "dhe të në për një me nga që është se si më këtë ka do por janë "
+        "këto ishte kjo ai ajo ne ju ata shumë pas mbi nën".split()
+    ),
+    "eu": frozenset(
+        "eta da ez du zen dira izan ere baina hau horrek bere egin behar "
+        "dela baita edo zer nola non gure haien arte oso batean".split()
+    ),
+    "af": frozenset(
+        "die van het in is nie dat om ek sy was hy met vir op aan wat ons "
+        "by dit as haar hulle jy my daar word kan sal een".split()
+    ),
+    "sw": frozenset(
+        "na ya wa kwa ni za katika la kuwa hii ili kama pia kwamba yake "
+        "hiyo watu hata baada wakati sasa lakini ambayo wake kila".split()
+    ),
+    "tl": frozenset(
+        "ang ng sa na mga ay at ito para hindi siya ako kanyang niya ko "
+        "kung naman lang din rin nila natin kami ninyo ating".split()
+    ),
 }
 
-# scripts that decide without stopwords
+# tie-break priority: position in _STOPWORDS (earlier wins)
+_LANG_PRIO = {lang: i for i, lang in enumerate(_STOPWORDS)}
+
+# inverted index word → languages containing it: the vote is one pass
+# over the line's words, independent of how many languages are loaded
+_WORD2LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _sw in _STOPWORDS.items():
+    for _w in _sw:
+        _WORD2LANGS[_w] = _WORD2LANGS.get(_w, ()) + (_lang,)
+
+# Cyrillic sub-classification: distinctive letters decide fast, then a
+# stopword vote among the Cyrillic languages, defaulting to ru.
+_CYR_DISTINCT = [
+    ("uk", re.compile(r"[іїєґ]")),
+    ("sr", re.compile(r"[ђћџљњ]")),
+]
+_CYR_STOPWORDS: dict[str, frozenset[str]] = {
+    "ru": frozenset(
+        "и в не на что он как это по но они она его из у за то же мы вы "
+        "был была были этот для или при о к с а так его ещё уже".split()
+    ),
+    "uk": frozenset(
+        "і в не на що він як це по але вони вона його з у за те ж ми ви "
+        "був була були цей для та до є про при або вже ще".split()
+    ),
+    "bg": frozenset(
+        "и в не на че той как това по но те тя него от у за да се са е "
+        "къде като при след една един си му ще бъде беше".split()
+    ),
+    "sr": frozenset(
+        "и у не на што он како то по али они она из код за ми ви био "
+        "била били овај је су да се као од при ће само".split()
+    ),
+}
+_CYR_PRIO = {lang: i for i, lang in enumerate(_CYR_STOPWORDS)}
+_CYR_WORD2LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _sw in _CYR_STOPWORDS.items():
+    for _w in _sw:
+        _CYR_WORD2LANGS[_w] = _CYR_WORD2LANGS.get(_w, ()) + (_lang,)
+
+# Arabic-script sub-classification by distinctive letters
+_ARAB_DISTINCT = [
+    ("ur", re.compile(r"[ٹڑےہں]")),
+    ("fa", re.compile(r"[پچژگ]")),
+]
+
+# scripts that decide (or route) without Latin stopwords
 _SCRIPT_RANGES = [
     ("zh", re.compile(r"[\u4e00-\u9fff]")),
     ("ja", re.compile(r"[\u3040-\u30ff]")),
     ("ko", re.compile(r"[\uac00-\ud7af]")),
-    ("ru", re.compile(r"[\u0400-\u04ff]")),
-    ("ar", re.compile(r"[\u0600-\u06ff]")),
+    ("@cyr", re.compile(r"[\u0400-\u04ff]")),
+    ("@arab", re.compile(r"[\u0600-\u06ff]")),
     ("el", re.compile(r"[\u0370-\u03ff]")),
     ("he", re.compile(r"[\u0590-\u05ff]")),
     ("th", re.compile(r"[\u0e00-\u0e7f]")),
-    ("hi", re.compile(r"[\u0900-\u097f]")),
+    ("hi", re.compile(r"[\u0900-\u097f]")),   # Devanagari (hi/mr/ne → hi)
+    ("bn", re.compile(r"[\u0980-\u09ff]")),
+    ("pa", re.compile(r"[\u0a00-\u0a7f]")),   # Gurmukhi
+    ("gu", re.compile(r"[\u0a80-\u0aff]")),
+    ("ta", re.compile(r"[\u0b80-\u0bff]")),
+    ("te", re.compile(r"[\u0c00-\u0c7f]")),
+    ("kn", re.compile(r"[\u0c80-\u0cff]")),
+    ("ml", re.compile(r"[\u0d00-\u0d7f]")),
+    ("si", re.compile(r"[\u0d80-\u0dff]")),
+    ("lo", re.compile(r"[\u0e80-\u0eff]")),
+    ("my", re.compile(r"[\u1000-\u109f]")),
+    ("ka", re.compile(r"[\u10a0-\u10ff]")),
+    ("hy", re.compile(r"[\u0530-\u058f]")),
+    ("am", re.compile(r"[\u1200-\u137f]")),
+    ("km", re.compile(r"[\u1780-\u17ff]")),
 ]
 
 _STRIP_RE = re.compile(r"[0-9\"'\\.,:;!?()\[\]{}&%#@*/+=<>|~^$_-]+")
@@ -115,6 +251,36 @@ def can_detect(text: str) -> bool:
     return len(words) > 10 or len("".join(words)) > 30
 
 
+def _vote(words: list[str], index: dict[str, tuple[str, ...]],
+          prio: dict[str, int]) -> tuple[str | None, int]:
+    """Single-pass stopword vote; ties broken by priority order."""
+    hits: dict[str, int] = {}
+    for w in words:
+        for lang in index.get(w, ()):
+            hits[lang] = hits.get(lang, 0) + 1
+    if not hits:
+        return None, 0
+    best = min(hits.items(), key=lambda kv: (-kv[1], prio[kv[0]]))
+    return best[0], best[1]
+
+
+def _cyrillic_lang(sample: str, words: list[str]) -> str:
+    for code, pat in _CYR_DISTINCT:
+        if len(pat.findall(sample)) >= 2:
+            return code
+    lang, hits = _vote(words, _CYR_WORD2LANGS, _CYR_PRIO)
+    if lang is not None and hits * 12 >= len(words):
+        return lang
+    return "ru"
+
+
+def _arabic_lang(sample: str) -> str:
+    for code, pat in _ARAB_DISTINCT:
+        if len(pat.findall(sample)) >= 2:
+            return code
+    return "ar"
+
+
 def detect(text: str) -> str | None:
     """Best-guess ISO 639-1 code, or None when undecidable."""
     if not text:
@@ -122,18 +288,20 @@ def detect(text: str) -> str | None:
     sample = text[:4000]
     non_space = max(1, len(sample.replace(" ", "")))
     for code, pat in _SCRIPT_RANGES:
-        hits = len(pat.findall(sample))
-        if hits * 3 >= non_space:  # ≥⅓ of chars in the script
+        hits_n = len(pat.findall(sample))
+        if hits_n * 3 >= non_space:  # ≥⅓ of chars in the script
+            if code == "@cyr":
+                return _cyrillic_lang(
+                    sample, [w.lower() for w in _WORD_RE.findall(sample)]
+                )
+            if code == "@arab":
+                return _arabic_lang(sample)
             return code
     words = [w.lower() for w in _WORD_RE.findall(sample)]
     if not words:
         return None
-    best_lang, best_hits = None, 0
-    for lang, sw in _STOPWORDS.items():
-        hits = sum(1 for w in words if w in sw)
-        if hits > best_hits:
-            best_lang, best_hits = lang, hits
-    if best_lang is not None and best_hits * 12 >= len(words):  # ≥1/12 stopword density
+    best_lang, best_hits = _vote(words, _WORD2LANGS, _LANG_PRIO)
+    if best_lang is not None and best_hits * 12 >= len(words):  # ≥1/12 density
         return best_lang
     return None
 
