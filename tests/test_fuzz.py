@@ -55,3 +55,13 @@ def test_garbage_inputs_never_raise():
         res = extract_pdf(payload)
         assert res.error is not None
         assert res.spans == []
+
+
+def test_corrupted_aes_pdf_never_raises():
+    from tests.test_pdfcrypt import _perm, make_encrypted_pdf, make_encrypted_pdf_v5
+
+    for src in (make_encrypted_pdf(4, 4, 128, _perm(3, 5, 12), cfm="AESV2"),
+                make_encrypted_pdf_v5(6, _perm(3, 5, 12))):
+        for seed in range(40):
+            res = extract_pdf(_corrupt(src, seed), max_pages=8)
+            assert res is not None
