@@ -96,8 +96,12 @@ def compile_compat(pattern: str) -> re.Pattern:
     Java allows variable-width lookbehind alternations like
     ``(?<!\\,|\\&|\\;|\\:|\\s[A-Z]{1,1})`` (PDFExtract.json absolute_eof
     rule 1); Python's ``re`` requires fixed width per lookbehind. Each
-    alternative is individually fixed-width, so ``(?<!a|b)`` rewrites to
-    the equivalent ``(?<!a)(?<!b)``."""
+    alternative is individually fixed-width, so negative ``(?<!a|b)``
+    rewrites to the equivalent ``(?<!a)(?<!b)`` (De Morgan: NOT-a AND
+    NOT-b). The split is ONLY valid for ``!``: for positive
+    ``(?<=a|b)`` consecutive lookbehinds would turn OR into AND, so an
+    unsupported variable-width positive lookbehind raises a clear error
+    instead of silently matching the wrong lines."""
     try:
         return re.compile(pattern)
     except re.error:
@@ -106,6 +110,12 @@ def compile_compat(pattern: str) -> re.Pattern:
             alts = _split_top_alternatives(m.group(2))
             if len(alts) <= 1:
                 return m.group(0)
+            if op != "!":
+                raise ValueError(
+                    "unsupported variable-width positive lookbehind "
+                    f"(?<={m.group(2)}): alternatives must share one "
+                    "width, or split the rule into one per alternative"
+                )
             return "".join(f"(?<{op}{a})" for a in alts)
 
         return re.compile(_LOOKBEHIND_RE.sub(fix, pattern))

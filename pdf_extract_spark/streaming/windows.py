@@ -121,16 +121,27 @@ def _sessionize_group(
     else:
         last_us, sess_id, sess_start, sess_n = None, 0, None, 0
     touched: dict[int, tuple[int, int]] = {}
-    for pdf in pdfs:
-        for us in pdf.sort_values("us")["us"]:
-            us = int(us)
-            if last_us is None or us - last_us > SESSION_GAP_US:
-                sess_id += 1
-                sess_start = us
-                sess_n = 0
-            sess_n += 1
-            last_us = us
-            touched[sess_id] = (sess_n, last_us - sess_start)
+    # one global sort across ALL of this batch's chunks — chunk-local
+    # sorts processed in iterator order would mis-sessionize events that
+    # arrive out of order across chunks. Events older than the carried
+    # last_us (late arrivals across micro-batches) are DROPPED, not
+    # spliced into already-emitted sessions — the same late-data policy
+    # a watermark applies to the windowed aggregate.
+    chunks = list(pdfs)
+    batch_us = (
+        pd.concat(chunks)["us"].sort_values() if chunks else pd.Series([])
+    )
+    for us in batch_us:
+        us = int(us)
+        if last_us is not None and us < last_us:
+            continue  # late beyond the carried frontier
+        if last_us is None or us - last_us > SESSION_GAP_US:
+            sess_id += 1
+            sess_start = us
+            sess_n = 0
+        sess_n += 1
+        last_us = us
+        touched[sess_id] = (sess_n, last_us - sess_start)
     state.update((last_us, sess_id, sess_start, sess_n))
     if touched:
         yield pd.DataFrame(

@@ -133,3 +133,40 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     # idempotent restart: checkpoint remembers the drained files
     run_extract_stream(spark, in_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == 8
+
+
+def test_sessionize_group_cross_chunk_order_and_late_drop():
+    """Unit-level check of the stateful fold: chunks are merged and
+    sorted globally (out-of-order ACROSS chunks sessionizes correctly),
+    and events older than the carried frontier are dropped."""
+    import pandas as pd
+
+    from pdf_extract_spark.queries import SESSION_GAP_US
+    from pdf_extract_spark.streaming.windows import _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    st = FakeState()
+    gap = SESSION_GAP_US
+    # two chunks, interleaved times: chunk-local folding would open a
+    # bogus second session; global sort sees 0, 1, gap+10, gap+11
+    c1 = pd.DataFrame({"us": [gap + 10, 0]})
+    c2 = pd.DataFrame({"us": [1, gap + 11]})
+    out = list(_sessionize_group((7,), iter([c1, c2]), st))
+    rows = {int(r.sess_id): (int(r.n_events), int(r.duration_us))
+            for r in out[0].itertuples()}
+    assert rows == {1: (2, 1), 2: (2, 1)}
+
+    # next micro-batch: a late event far behind the frontier is dropped,
+    # an on-time one extends the open session
+    out2 = list(_sessionize_group(
+        (7,), iter([pd.DataFrame({"us": [5, gap + 12]})]), st))
+    rows2 = {int(r.sess_id): (int(r.n_events), int(r.duration_us))
+             for r in out2[0].itertuples()}
+    assert rows2 == {2: (3, 2)}

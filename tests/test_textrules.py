@@ -135,3 +135,16 @@ class TestReferenceConfigCompat:
         assert ref_rules.join_char("broken exam-", "ple word") == ""
         # trailing comma joins with ' ' (rule 1)
         assert ref_rules.join_char("a, b,", "c d") == " "
+
+
+def test_positive_lookbehind_alternation_rejected():
+    """(?<=a|bb) must NOT be split into consecutive lookbehinds (that
+    would turn OR into AND) — it raises a clear unsupported error."""
+    import pytest
+
+    from pdf_extract_spark.functions.textrules import compile_compat
+
+    # negative form still rewrites fine
+    assert compile_compat(r"(?<!\,|\s[A-Z]{1,1})x").search("ax")
+    with pytest.raises(ValueError, match="positive lookbehind"):
+        compile_compat(r"(?<=foo|barbaz)x")
