@@ -242,6 +242,11 @@ _SCRIPT_RANGES = [
 _STRIP_RE = re.compile(r"[0-9\"'\\.,:;!?()\[\]{}&%#@*/+=<>|~^$_-]+")
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
+# every script range starts at U+0370 — one C-speed search decides
+# whether the 24 per-script scans can be skipped entirely (the common
+# case: Latin text, including accented European, is all < U+0370)
+_NONLATIN_RE = re.compile(r"[\u0370-\uffff]")
+
 
 def can_detect(text: str) -> bool:
     """Reference gate: strip digits/punct; detect only if >10 words or
@@ -286,17 +291,18 @@ def detect(text: str) -> str | None:
     if not text:
         return None
     sample = text[:4000]
-    non_space = max(1, len(sample.replace(" ", "")))
-    for code, pat in _SCRIPT_RANGES:
-        hits_n = len(pat.findall(sample))
-        if hits_n * 3 >= non_space:  # ≥⅓ of chars in the script
-            if code == "@cyr":
-                return _cyrillic_lang(
-                    sample, [w.lower() for w in _WORD_RE.findall(sample)]
-                )
-            if code == "@arab":
-                return _arabic_lang(sample)
-            return code
+    if _NONLATIN_RE.search(sample) is not None:
+        non_space = max(1, len(sample.replace(" ", "")))
+        for code, pat in _SCRIPT_RANGES:
+            hits_n = len(pat.findall(sample))
+            if hits_n * 3 >= non_space:  # ≥⅓ of chars in the script
+                if code == "@cyr":
+                    return _cyrillic_lang(
+                        sample, [w.lower() for w in _WORD_RE.findall(sample)]
+                    )
+                if code == "@arab":
+                    return _arabic_lang(sample)
+                return code
     words = [w.lower() for w in _WORD_RE.findall(sample)]
     if not words:
         return None

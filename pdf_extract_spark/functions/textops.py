@@ -31,7 +31,7 @@ from ..sources.pdfparse import (
 from .glyphs import base_encoding_table, default_width_for, glyph_to_unicode
 
 
-@dataclass
+@dataclass(slots=True)
 class TextRun:
     pageno: int
     left: float
@@ -49,7 +49,7 @@ class TextRun:
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class MediaRef:
     pageno: int
     left: float
@@ -358,25 +358,23 @@ def base_ctm(media: tuple[float, float, float, float], rotate: int):
 # Content stream tokenizer
 # ---------------------------------------------------------------------------
 
+# group 2 captures a whole RUN of whitespace-separated numbers in the
+# one match (vector-graphics operand lists: path data m/l/c/re dominates
+# token counts in drawing-heavy pages — one match per run instead of one
+# per number, then C-speed split/float). Possessive quantifiers: without
+# them a partial match backtracks through every digit split — measured
+# 2.5× slower.
 _CS_TOKEN = re.compile(
     rb"[\x00\t\n\x0c\r ]*"             # leading whitespace folded in
     rb"(?:/([^\s()<>\[\]{}/%]*)"       # 1 name
-    rb"|([+-]?\d*\.\d+|[+-]?\d+\.?)"   # 2 number
+    rb"|((?:[+-]?+(?:\d*+\.\d++|\d++\.?+))"  # 2 number run
+    rb"(?:[\x00\t\n\x0c\r ]++[+-]?+(?:\d*+\.\d++|\d++\.?+))*+)"
     rb"|(<<|\[|\]|\(|<|\{|\})"         # 3 structural open/close
     rb"|([A-Za-z\"'][A-Za-z0-9*\"']*)"  # 4 operator/keyword
     rb"|(%[^\r\n]*))"                  # 5 comment
 )
 
 _EI_RE = re.compile(rb"(?:\s|^)EI(?=\s|$)")
-
-# run of ≥2 whitespace-separated numbers (vector-graphics operand lists:
-# path data m/l/c/re dominates token counts in drawing-heavy pages)
-# possessive quantifiers: without them a failed run match (isolated
-# number) backtracks through every digit split — measured 2.5× slower
-_NUM_RUN = re.compile(
-    rb"[\x00\t\n\x0c\r ]*+[+-]?+(?:\d*+\.\d++|\d++\.?+)"
-    rb"(?:[\x00\t\n\x0c\r ]++[+-]?+(?:\d*+\.\d++|\d++\.?+))++"
-)
 
 # array-element scanner for the TJ fast path: numbers, strings, hex
 # strings, names, and the closing bracket in one anchored pattern
@@ -410,7 +408,9 @@ def _parse_content_array(data: bytes, pos: int):
             s, pos = _parse_literal_string(data, m.end())
             out.append(s)
         elif gi == 3:
-            hx = re.sub(rb"[^0-9A-Fa-f]", b"", m.group(3))
+            # group already restricts to hexdigits+ws: strip ws via
+            # C-level translate (re.sub here was ~3% of doc wall time)
+            hx = m.group(3).translate(None, delete=b"\x00\t\n\x0c\r ")
             if len(hx) % 2:
                 hx += b"0"
             out.append(bytes.fromhex(hx.decode("ascii")))
@@ -448,21 +448,12 @@ def tokenize_content(data: bytes, keep_ops: frozenset | None = None):
             pos = m.end() + 1 if m else pos + 1
             continue
         gi = m.lastindex
-        if gi == 2:  # number (most common kind by far)
-            # batch a whole operand run (path data emits 4-6 numbers per
-            # op): one yield + C-speed split/float instead of one regex
-            # match + yield per number
-            m2 = _NUM_RUN.match(data, pos)
-            if m2 is not None:
-                end = m2.end()
-                yield ("nums", [
-                    float(x)
-                    for x in data[pos:end].replace(b"\x00", b" ").split()
-                ])
-                pos = end
-            else:
-                yield ("num", float(m.group(2)))
-                pos = m.end()
+        if gi == 2:  # number run (most common kind by far)
+            run = m.group(2)
+            if b"\x00" in run:
+                run = run.replace(b"\x00", b" ")
+            yield ("nums", [float(x) for x in run.split()])
+            pos = m.end()
         elif gi == 1:
             yield ("name", m.group(1).decode("latin-1"))
             pos = m.end()
@@ -595,31 +586,47 @@ def _run_stream(
         if font is None or not items:
             return
         text_parts: list[str] = []
-        disp = 0.0  # total advance in unscaled text-space x
+        disp = 0.0  # total advance in DEVICE-upstream text-space x (pre-Tm)
+        scale = fsize * th
+        k = scale / 1000.0
+        kern_space = -KERN_SPACE_EM * 1000.0
+        # inline the per-string memo (119k lookups/doc: the method-call
+        # overhead of decode_agg costs more than the cached work)
+        agg_cache = font._agg_cache
+        decode_agg = font.decode_agg
         for item in items:
-            if isinstance(item, (int, float)):
-                shift = -float(item) / 1000.0 * fsize * th
-                disp += shift
-                if float(item) < -KERN_SPACE_EM * 1000.0:
+            t = type(item)
+            if t is bytes:
+                hit = agg_cache.get(item)
+                txt, sum_w, nglyphs, nsp = hit if hit is not None \
+                    else decode_agg(item)
+                text_parts.append(txt)
+                disp += sum_w * k + (nglyphs * tc + nsp * tw) * th
+            elif t is float or t is int:
+                disp -= item * k
+                if item < kern_space:
                     if text_parts and not text_parts[-1].endswith(" "):
                         text_parts.append(" ")
-                continue
-            if not isinstance(item, bytes):
-                continue
-            txt, sum_w, nglyphs, nsp = font.decode_agg(item)
-            text_parts.append(txt)
-            disp += (sum_w / 1000.0 * fsize + nglyphs * tc + nsp * tw) * th
-        trm = mat_mul((fsize * th, 0.0, 0.0, fsize, 0.0, ts), mat_mul(tm, gs.ctm))
-        x0, y0 = mat_apply(trm, 0.0, 0.0)
-        # device-space font size from the length of the (0,1) basis vector
-        vx, vy = trm[2], trm[3]
-        dev_size = math.hypot(vx, vy)
-        ux, uy = trm[0], trm[1]
-        angle = math.degrees(math.atan2(uy, ux)) % 360.0
-        snapped = int(round(angle / 90.0)) * 90 % 360
-        ang = snapped if abs(angle - (int(round(angle / 90.0)) * 90)) < 0.5 else -1
-        scale = fsize * th
-        x1, y1 = mat_apply(trm, disp / scale if scale else 0.0, 0.0)
+        # fold the font matrix S=(scale,0,0,fsize,0,ts) algebraically:
+        # trm = S·(tm·ctm) ⇒ linear = (scale·M0, scale·M1, fsize·M2,
+        # fsize·M3), origin = apply(M, 0, ts) — one mat_mul saved per show
+        M = mat_mul(tm, gs.ctm)
+        x0, y0 = mat_apply(M, 0.0, ts)
+        if M[1] == 0.0 and M[2] == 0.0 and M[0] > 0.0 and M[3] > 0.0 \
+                and scale > 0.0:
+            # axis-aligned fast path (the overwhelming majority of text):
+            # angle 0, size straight off the diagonal — no hypot/atan2
+            dev_size = fsize * M[3]
+            ang = 0
+        else:
+            # device-space font size from the (0,1) basis vector length
+            vx, vy = fsize * M[2], fsize * M[3]
+            dev_size = math.hypot(vx, vy)
+            ux, uy = scale * M[0], scale * M[1]
+            angle = math.degrees(math.atan2(uy, ux)) % 360.0
+            snapped = int(round(angle / 90.0)) * 90 % 360
+            ang = snapped if abs(angle - (int(round(angle / 90.0)) * 90)) < 0.5 else -1
+        x1, y1 = mat_apply(M, disp if scale else 0.0, ts)
         text = "".join(text_parts)
         # advance Tm by the total displacement
         tm = mat_mul((1.0, 0.0, 0.0, 1.0, disp, 0.0), tm)
@@ -657,58 +664,117 @@ def _run_stream(
         except (IndexError, TypeError, ValueError):
             return 0.0
 
-    for kind, val in tokenize_content(data, keep_ops=_HANDLED_OPS_BYTES):
-        if kind == "nums":  # batched operand run — the hottest kind
-            op_budget[0] += len(val)
-            if op_budget[0] > MAX_OPS_PER_PAGE:
+    # FUSED tokenizer+dispatch: the scanner loop from tokenize_content
+    # inlined so the hot path (445k tokens on a 112-page doc) pays no
+    # generator suspension and no (kind, value) tuple per token — worth
+    # ~10% of single-doc wall time, measured. tokenize_content remains
+    # the standalone tokenizer API; the two loops share _CS_TOKEN and
+    # the string/dict/array sub-parsers, so token syntax cannot drift.
+    # Budget is a local int (op_budget[0] indexing costs ~10% of the
+    # dispatch loop); synced at Do recursion and on exit.
+    budget = op_budget[0]
+    match = _CS_TOKEN.match
+    data_n = len(data)
+    pos = 0
+    while pos < data_n:
+        mt = match(data, pos)
+        if not mt or mt.lastindex is None:
+            pos = mt.end() + 1 if mt else pos + 1
+            continue
+        gi = mt.lastindex
+        if gi == 2:  # number run — the hottest kind
+            run = mt.group(2)
+            pos = mt.end()
+            if b"\x00" in run:
+                run = run.replace(b"\x00", b" ")
+            vals = [float(x) for x in run.split()]
+            budget += len(vals)
+            if budget > MAX_OPS_PER_PAGE:
                 break
             if arr_stack:
-                arr_stack[-1].extend(val)
+                arr_stack[-1].extend(vals)
             else:
-                stack.extend(val)
+                stack.extend(vals)
             continue
-        op_budget[0] += len(val) if kind == "arr" else 1
-        if op_budget[0] > MAX_OPS_PER_PAGE:
-            break
-        if kind in ("name", "num", "str", "dict", "arr"):
-            if arr_stack:
-                arr_stack[-1].append(val)
-            else:
-                stack.append(val)
-            continue
-        if kind == "arr_open":
-            arr_stack.append([])
-            continue
-        if kind == "arr_close":
-            arr = arr_stack.pop() if arr_stack else []
-            if arr_stack:
-                arr_stack[-1].append(arr)
-            else:
-                stack.append(arr)
-            continue
-        if kind == "inline_image":
-            medias.append(
-                MediaRef(
-                    pageno=pageno,
-                    left=mat_apply(gs.ctm, 0.0, 0.0)[0],
-                    top=mat_apply(gs.ctm, 0.0, 1.0)[1],
-                    width=abs(gs.ctm[0]),
-                    height=abs(gs.ctm[3]),
-                    ref=f"img://p{pageno}/inline/{media_seq[0]}",
+        if gi == 4:  # operator/keyword
+            raw_op = mt.group(4)
+            pos = mt.end()
+            if raw_op == b"BI":
+                # inline image: skip dict + binary data to EI
+                mm = _EI_RE.search(data, pos)
+                pos = mm.end() if mm else data_n
+                budget += 1
+                if budget > MAX_OPS_PER_PAGE:
+                    break
+                medias.append(
+                    MediaRef(
+                        pageno=pageno,
+                        left=mat_apply(gs.ctm, 0.0, 0.0)[0],
+                        top=mat_apply(gs.ctm, 0.0, 1.0)[1],
+                        width=abs(gs.ctm[0]),
+                        height=abs(gs.ctm[3]),
+                        ref=f"img://p{pageno}/inline/{media_seq[0]}",
+                    )
                 )
-            )
-            media_seq[0] += 1
-            stack.clear()
+                media_seq[0] += 1
+                stack.clear()
+                continue
+            if raw_op not in _HANDLED_OPS_BYTES:
+                # path/clipping/shading/marked-content ops: one set
+                # probe (drawing-heavy pages: ~25× more path ops than
+                # text ops); operands stay until cleared here
+                stack.clear()
+                continue
+            budget += 1
+            if budget > MAX_OPS_PER_PAGE:
+                break
+        elif gi == 1:  # name
+            budget += 1
+            if budget > MAX_OPS_PER_PAGE:
+                break
+            if arr_stack:
+                arr_stack[-1].append(mt.group(1).decode("latin-1"))
+            else:
+                stack.append(mt.group(1).decode("latin-1"))
+            pos = mt.end()
             continue
-        # kind == "op"
-        op = val
-        if op not in _HANDLED_OPS:
-            # path/clipping/shading/marked-content ops: one set probe
-            # instead of falling through the whole dispatch chain
-            # (drawing-heavy pages: ~25× more path ops than text ops)
-            stack.clear()
+        elif gi == 3:  # structural
+            tok = mt.group(3)
+            budget += 1
+            if budget > MAX_OPS_PER_PAGE:
+                break
+            if tok == b"(":
+                s, pos = _parse_literal_string(data, mt.end())
+                (arr_stack[-1] if arr_stack else stack).append(s)
+            elif tok == b"<":
+                s, pos = _parse_hex_string(data, mt.end())
+                (arr_stack[-1] if arr_stack else stack).append(s)
+            elif tok == b"<<":
+                d, pos = _parse_dict(data, mt.end())
+                (arr_stack[-1] if arr_stack else stack).append(d)
+            elif tok == b"[":
+                # TJ fast path: batch-parse the whole array
+                arr, pos2 = _parse_content_array(data, mt.end())
+                if arr is not None:
+                    budget += len(arr)
+                    (arr_stack[-1] if arr_stack else stack).append(arr)
+                    pos = pos2
+                else:
+                    arr_stack.append([])
+                    pos = mt.end()
+            elif tok == b"]":
+                arr = arr_stack.pop() if arr_stack else []
+                (arr_stack[-1] if arr_stack else stack).append(arr)
+                pos = mt.end()
+            else:
+                pos = mt.end()
             continue
-        try:
+        else:  # comment
+            pos = mt.end()
+            continue
+        # fall through only for a HANDLED operator
+        op = raw_op.decode("latin-1")
+        try:  # noqa: SIM105 — malformed operands must not kill the page
             if op == "q":
                 gs_stack.append(_State(gs.ctm, gs.fill))
             elif op == "Q":
@@ -789,15 +855,17 @@ def _run_stream(
                 )
             elif op == "Do":
                 if stack and isinstance(stack[-1], str):
+                    op_budget[0] = budget  # sync shared budget across recursion
                     _do_xobject(
                         doc, pageno, stack[-1], resources, gs, font_cache,
                         runs, medias, depth, op_budget, media_seq,
                     )
-        finally:
-            if op not in ("Tj", "'", '"', "TJ"):
-                pass
-            stack.clear()
+                    budget = op_budget[0]
+        except Exception:
+            pass  # defensive: a malformed operand skips one op only
+        stack.clear()
 
+    op_budget[0] = budget
     # handle TJ leftovers: nothing — arrays consumed in-place
 
 

@@ -159,10 +159,18 @@ def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
     end = data.find(b">", pos)
     if end < 0:
         end = len(data)
-    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos:end])
+    # fast path: C-level whitespace strip (hot — one call per show
+    # string in CMap-heavy docs); rare non-hex junk falls back to re
+    hx = data[pos:end].translate(None, delete=b"\x00\t\n\x0c\r ")
     if len(hx) % 2:
         hx += b"0"
-    return bytes.fromhex(hx.decode("ascii")), end + 1
+    try:
+        return bytes.fromhex(hx.decode("ascii")), end + 1
+    except (ValueError, UnicodeDecodeError):
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", hx)
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")), end + 1
 
 
 def parse_object(data: bytes, pos: int):
