@@ -165,9 +165,12 @@ def _get_scorer(sj_model, sj_threshold: float | None):
         from ..functions.sentencejoin import DEFAULT_THRESHOLD, SentenceJoinScorer
 
         try:
-            sc = SentenceJoinScorer.from_arpa(
+            # .blm binary (fast executor load) or ARPA prefix
+            sc = SentenceJoinScorer.load(
                 sj_model,
                 DEFAULT_THRESHOLD if sj_threshold is None else sj_threshold)
+            if sj_threshold is not None:
+                sc.threshold = sj_threshold
         except (OSError, ValueError):
             sc = "missing"
         _SCORER_CACHE[key] = sc
