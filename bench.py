@@ -145,10 +145,14 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
 
+        # best-of-3: this VM's host-steal bursts span whole 10-15 s
+        # windows, so two runs can BOTH land in one burst (observed
+        # 285 vs 417 docs/sec for identical code minutes apart)
         extraction = run_extraction(spark, corpus_path, cores)
-        ext2 = run_extraction(spark, corpus_path, cores)
-        if ext2["docs_per_sec"] > extraction["docs_per_sec"]:
-            extraction = ext2
+        for _ in range(2):
+            ext2 = run_extraction(spark, corpus_path, cores)
+            if ext2["docs_per_sec"] > extraction["docs_per_sec"]:
+                extraction = ext2
         spark.stop()
 
         scaling = None

@@ -164,6 +164,7 @@ class FontDecoder:
         self.default_w: float | None = None
         self.is_cid = subtype == "Type0"
         self._agg_cache: dict[bytes, tuple[str, float, int, int]] = {}
+        self._code_table: dict[int, tuple[int, str, float]] = {}
 
         tu = doc.resolve(font.get("ToUnicode"))
         if isinstance(tu, PDFStream):
@@ -298,6 +299,10 @@ class FontDecoder:
         return out
 
     def decode(self, raw: bytes) -> list[tuple[int, str, float]]:
+        # per-CODE memo: unicode + width resolve once per distinct glyph
+        # code per font (small docs without /Widths otherwise pay a
+        # default_width_for table walk per glyph — ~45 calls per line)
+        table = self._code_table
         out: list[tuple[int, str, float]] = []
         if self.code_bytes == 2:
             it = range(0, len(raw) - 1, 2)
@@ -305,17 +310,21 @@ class FontDecoder:
             if len(raw) % 2:  # trailing odd byte
                 codes.append(raw[-1])
         else:
-            codes = list(raw)
+            codes = raw  # bytes iterates as ints
         for code in codes:
-            uni = self.tounicode.get(code)
-            if uni is None:
-                uni = self.enc_table.get(code)
-            if uni is None:
-                if not self.is_cid and 32 <= code <= 126:
-                    uni = chr(code)
-                else:
-                    uni = ""  # unmapped glyph — drop (poppler emits nothing)
-            out.append((code, uni, self.width_of(code)))
+            hit = table.get(code)
+            if hit is None:
+                uni = self.tounicode.get(code)
+                if uni is None:
+                    uni = self.enc_table.get(code)
+                if uni is None:
+                    if not self.is_cid and 32 <= code <= 126:
+                        uni = chr(code)
+                    else:
+                        uni = ""  # unmapped glyph — drop (poppler emits nothing)
+                hit = (code, uni, self.width_of(code))
+                table[code] = hit
+            out.append(hit)
         return out
 
 

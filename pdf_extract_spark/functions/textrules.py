@@ -123,6 +123,12 @@ def compile_compat(pattern: str) -> re.Pattern:
 
 _DOLLAR_GROUP_RE = re.compile(r"\$(\d+)")
 
+#: patterns whose source contains backrefs shift meaning when combined
+#: into one alternation (group renumbering) — they disable the gate;
+#: likewise any flag beyond UNICODE (str patterns always carry UNICODE)
+_BACKREF_RE = re.compile(r"\\\d")
+_PLAIN_FLAGS = re.UNICODE
+
 
 def compat_replacement(rep: str) -> str:
     """Java replacement group refs (``$1``, Common.replaceText
@@ -182,6 +188,8 @@ class RuleSet:
                  search_replace_tab: str | None = None):
         cfg = normalize_config(config or DEFAULT_CONFIG)
         self.langs: dict[str, LangRules] = {}
+        #: (lang, kind) → (flat rule list, combined gate regex | None)
+        self._chain_cache: dict = {}
         #: per-language W4 sentence-join model paths, when the config
         #: declares them (reference ``sentencejoin_model``)
         self.sj_models: dict[str, str] = {}
@@ -228,29 +236,70 @@ class RuleSet:
         return out
 
     # -- application ---------------------------------------------------------
+    def _chain(self, lang: str | None, kind: str):
+        """(rule list, gate) for a language chain, cached per (lang,
+        kind). The gate is ONE combined alternation of every search
+        pattern: a line it doesn't match cannot be changed by any rule,
+        so the common case (plain ASCII text) pays one C-level search
+        instead of len(rules) subs. Disabled (None) when any pattern
+        carries backrefs/flags that don't survive alternation."""
+        key = (lang, kind)
+        hit = self._chain_cache.get(key)
+        if hit is not None:
+            return hit
+        rules = [
+            (pat, rep)
+            for lr in self.for_lang(lang)
+            for pat, rep in getattr(lr, kind)
+        ]
+        gate = None
+        if rules and not any(
+            _BACKREF_RE.search(pat.pattern) or pat.flags & ~_PLAIN_FLAGS
+            for pat, _ in rules
+        ):
+            try:
+                gate = re.compile("|".join(f"(?:{p.pattern})" for p, _ in rules))
+            except re.error:
+                gate = None
+        hit = (rules, gate)
+        self._chain_cache[key] = hit
+        return hit
+
     def normalize_series(self, texts, lang: str | None = None):
-        """Vectorized ordered normalize over a pandas Series of strings."""
-        for lr in self.for_lang(lang):
-            for pat, rep in lr.normalize:
-                texts = texts.str.replace(pat, rep, regex=True)
-        return texts
+        """Ordered normalize over a pandas Series of strings — one map
+        (one output array) instead of one intermediate Series per rule."""
+        return self._apply_series(texts, lang, "normalize")
 
     def repair_series(self, texts, lang: str | None = None):
-        for lr in self.for_lang(lang):
-            for pat, rep in lr.repair:
-                texts = texts.str.replace(pat, rep, regex=True)
-        return texts
+        return self._apply_series(texts, lang, "repair")
+
+    def _apply_series(self, texts, lang: str | None, kind: str):
+        rules, gate = self._chain(lang, kind)
+        if not rules:
+            return texts
+        search = gate.search if gate is not None else None
+
+        def f(t):
+            if search is not None and search(t) is None:
+                return t
+            for pat, rep in rules:
+                t = pat.sub(rep, t)
+            return t
+
+        return texts.map(f)
 
     def normalize_str(self, text: str, lang: str | None = None) -> str:
-        for lr in self.for_lang(lang):
-            for pat, rep in lr.normalize:
-                text = pat.sub(rep, text)
-        return text
+        return self._apply_str(text, lang, "normalize")
 
     def repair_str(self, text: str, lang: str | None = None) -> str:
-        for lr in self.for_lang(lang):
-            for pat, rep in lr.repair:
-                text = pat.sub(rep, text)
+        return self._apply_str(text, lang, "repair")
+
+    def _apply_str(self, text: str, lang: str | None, kind: str) -> str:
+        rules, gate = self._chain(lang, kind)
+        if gate is not None and gate.search(text) is None:
+            return text
+        for pat, rep in rules:
+            text = pat.sub(rep, text)
         return text
 
     def is_absolute_eof(self, cur: str, nxt: str, lang: str | None = None) -> bool:
