@@ -381,6 +381,96 @@ def embedding_neardup_pairs_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup (new ingest batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+#: synthetic batch split for the test tables: every 10th doc is "new"
+INCR_BATCH_MOD = 10
+
+
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: near-dup pairs between a NEW batch and the
+    existing corpus via the banded MinHash join — the filter a streaming
+    ingest pipeline runs before appending to a 10^12-doc table.
+
+    Plan shape at scale: the corpus side's band keys are a precomputed
+    sketch table (signatures materialize once at ingest, exactly the
+    ``sig`` frame here); each new batch shuffles only its own bands
+    against it — O(batch·bands) per ingest, never a corpus self-join.
+    The test split is synthetic (doc_id % 10 == 0 is "new")."""
+    s = _shingled(spark, sf_dir, reuse=True)
+    sig = s.select(
+        "doc_id", "sh", "n_sh",
+        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
+          for j in range(N_MINHASH)],
+    ).withColumn("is_new", F.col("doc_id") % INCR_BATCH_MOD == 0).persist()
+    bands = None
+    for bi in range(LSH_BANDS):
+        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
+        b = sig.select(
+            "doc_id", "is_new",
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *cols).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    new_b = bands.filter(F.col("is_new")).alias("a")
+    old_b = bands.filter(~F.col("is_new")).alias("b")
+    cand = (
+        new_b.join(old_b, ["band_idx", "band_key"])
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sh = s.select("doc_id", "sh", "n_sh")
+    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", SPARK)
+    return (
+        cand.join(sh.alias("sa"), cand["new_id"] == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), cand["corpus_id"] == F.col("sb.doc_id"))
+        .select("new_id", "corpus_id", F.expr(jac).alias("jacc"))
+        .filter(F.col("jacc") >= JACCARD_TAU)
+    )
+
+
+def incremental_dedup_pairs_oracle() -> str:
+    mh_cols = ", ".join(
+        f"{K.minhash('sh', j, DUCK)} as mh{j}" for j in range(N_MINHASH)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, is_new, {bi} as band_idx,"
+        " concat_ws(',', {cols}) as band_key from sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
+    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", DUCK)
+    return f"""
+        with {_SHINGLED_CTE_DUCK},
+        sig as (
+            select doc_id, sh, n_sh,
+                   (doc_id % {INCR_BATCH_MOD} = 0) as is_new, {mh_cols}
+            from sized
+        ),
+        bands as ({band_rows}),
+        cand as (
+            select distinct a.doc_id as new_id, b.doc_id as corpus_id
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_key = b.band_key
+            where a.is_new and not b.is_new
+        )
+        select cand.new_id, cand.corpus_id, {jac} as jacc
+        from cand
+        join sized sa on cand.new_id = sa.doc_id
+        join sized sb on cand.corpus_id = sb.doc_id
+        where {jac} >= {JACCARD_TAU}
+    """
+
+
+# ---------------------------------------------------------------------------
 # duplicate clusters (connected components over the near-dup pair graph)
 # ---------------------------------------------------------------------------
 

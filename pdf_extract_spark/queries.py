@@ -20,7 +20,9 @@ Grouping (SURVEY.md §2 ids in parens):
     dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
     dedup_simhash, dedup_embedding_cosine, dedup_clusters (connected
     components over the pair graph), dedup_keep_canonical (the apply
-    step: surviving corpus after near-dedup), simhash_fingerprints,
+    step: surviving corpus after near-dedup), dedup_incremental (new
+    ingest batch vs corpus via the banded sketch join — the streaming
+    ingest filter), simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk,
     text_token_stats, text_quality, text_langid, text_fingerprint
 
@@ -452,6 +454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup.simhash_pairs,
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
     "dedup_clusters": dedup.duplicate_clusters,
+    "dedup_incremental": dedup.incremental_dedup_pairs,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -484,6 +487,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": dedup.simhash_pairs_oracle(),
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
+    "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
     "dedup_keep_canonical": dedup.dedup_keep_canonical_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
