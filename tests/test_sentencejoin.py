@@ -298,3 +298,27 @@ class TestBinaryInterop:
         p.write_bytes(b"NOTAMODEL" + b"\x00" * 64)
         with pytest.raises(ValueError):
             SentenceJoinScorer.from_binary(str(p))
+
+
+def test_pipeline_sj_model_blm(spark, tmp_path):
+    """The Spark pipeline loads a binary .blm model end-to-end (same
+    join decisions as the ARPA pair it was packed from)."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+
+    sc = SentenceJoinScorer.train(UPPER)
+    blm = str(tmp_path / "sj.blm")
+    sc.save_binary(blm)
+
+    pdf64 = base64.b64encode(
+        _two_line_pdf("THE QUICK BROWN FOX", "JUMPS OVER THE LAZY DOG")
+    ).decode()
+    df = spark.createDataFrame(
+        [("d0", [{"kind": "pdf", "text": pdf64, "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = extract_spans(df, sj_model=blm).collect()[0]
+    assert [s["text"] for s in out["spans"]] == [
+        "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"
+    ]
+    assert out["error"] is None
