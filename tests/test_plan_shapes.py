@@ -1,0 +1,111 @@
+"""Physical-plan assertions for the 100 TB design claims: filters and
+projections reach the scan, small dims broadcast, gated repartitions do
+not shuffle already-parallel inputs, and no operator degenerates to a
+nested-loop/cartesian stage. These are the properties BENCH.md's plan
+audit relies on — asserted so a refactor cannot silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_project_pushdown(spark):
+    """P3/P4: predicate + 4-column projection reach the parquet scan."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["filter_project"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+    # column pruning: the FileScan reads exactly the 5 needed columns
+    # (plan toString truncates ReadSchema, so parse the scan's list)
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_discount"}
+
+
+def test_broadcast_dim_join_no_fact_shuffle(spark):
+    """P5: the dim side broadcasts; the fact table is not exchanged
+    before the join (only the post-agg exchange remains)."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["broadcast_dim_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    join_part = plan.split("BroadcastHashJoin")[-1]
+    # below the join: scans + broadcast exchange only, no shuffle of facts
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_whole_stage_codegen_on_relational_core(spark):
+    """The relational queries stay inside whole-stage codegen (no
+    per-row Python anywhere in the plan)."""
+    from pdf_extract_spark.queries import QUERIES
+
+    for name in ("filter_project", "modal_group", "run_length"):
+        plan = _physical(QUERIES[name](spark, SF_DIR))
+        # '*(n)' = codegen stage marker; AQE wrappers only materialize
+        # them at execution, so accept the adaptive root too
+        assert "*(" in plan or "AdaptiveSparkPlan" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_dedup_queries_no_python_no_cartesian(spark):
+    """LSH/simhash dedup: pure Catalyst (no Python eval nodes) and no
+    nested-loop join anywhere — the O(n·bands) claim."""
+    from pdf_extract_spark.queries import QUERIES
+
+    for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_incremental", "simhash_fingerprints"):
+        plan = _physical(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_gated_repartition_skips_parallel_input(spark, tmp_path):
+    """The documents-scan repartition only fires for under-parallel
+    scans: a multi-partition input shows no round-robin exchange
+    (VERDICT r1 item 7 done-bar)."""
+    import pdf_extract_spark.operators.dedup as dd
+
+    par = spark.sparkContext.defaultParallelism
+
+    # single small file → repartition inserted
+    assert "Repartition" in _optimized(dd._docs(spark, SF_DIR))
+
+    # already-parallel input (documents.parquet as a multi-file dir
+    # under a synthetic sf_dir) → scan kept as-is, no exchange
+    sf2 = tmp_path / "sf_par"
+    sf2.mkdir()
+    (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+     .repartition(par).write.parquet(str(sf2 / "documents.parquet")))
+    df = dd._docs(spark, str(sf2))
+    assert df.rdd.getNumPartitions() >= par
+    assert "Repartition" not in _optimized(df)
+
+
+def test_extraction_plan_is_narrow(spark):
+    """The flagship extraction is a zero-shuffle narrow map over the
+    scan (BENCH.md §4: narrow beats shuffle for payload tables)."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+    from pdf_extract_spark.sources.corpus import corpus_pandas
+
+    df = spark.createDataFrame(corpus_pandas(4, use_fixtures=False))
+    plan = _physical(extract_spans(df))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
