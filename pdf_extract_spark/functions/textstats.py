@@ -197,3 +197,90 @@ def fingerprints_oracle() -> str:
                {K.polyhash('lower(trim(text))', DUCK)} as fp_norm
         from documents
     """
+
+
+# -- Gopher-style composite quality filter ----------------------------------
+#: public heuristics (Rae et al. 2021 "Scaling Language Models", Table A1):
+#: word-count bounds, mean-word-length band, non-alphabetic word cap,
+#: minimum stop-word presence. Thresholds below are the published ones
+#: scaled to the short synthetic docs (min words 10 instead of 50).
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_NOALPHA_FRAC = 0.2
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_cols(d: str) -> dict[str, str]:
+    toks = "toks"
+    n = f"cast({K.asize(toks, d)} as bigint)"
+    total_len = K.fold(
+        K.xform(toks, "t -> cast(length(t) as bigint)", d),
+        "cast(0 as bigint)", "(acc, x) -> acc + x", d,
+    )
+    alpha_re = "'[A-Za-z]'"
+    no_alpha = K.fold(
+        K.xform(
+            toks,
+            (f"t -> case when t rlike {alpha_re} then 0 else 1 end" if d == SPARK
+             else f"t -> case when regexp_matches(t, {alpha_re}) then 0 else 1 end"),
+            d,
+        ),
+        "0", "(acc, x) -> acc + x", d,
+    )
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    stop_hits = K.fold(
+        K.xform(toks, f"t -> case when lower(t) in ({stops}) then 1 else 0 end", d),
+        "0", "(acc, x) -> acc + x", d,
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": f"round({total_len} / cast({n} as double), 6)",
+        "noalpha_frac": f"round({no_alpha} / cast({n} as double), 6)",
+        "stop_hits": f"cast({stop_hits} as bigint)",
+    }
+
+
+def _gopher_pass(c: dict[str, str]) -> str:
+    return (
+        f"({c['n_words']} >= {GOPHER_MIN_WORDS}"
+        f" and {c['n_words']} <= {GOPHER_MAX_WORDS}"
+        f" and {c['mean_word_len']} >= {GOPHER_MIN_MEAN_LEN}"
+        f" and {c['mean_word_len']} <= {GOPHER_MAX_MEAN_LEN}"
+        f" and {c['noalpha_frac']} <= {GOPHER_MAX_NOALPHA_FRAC}"
+        f" and {c['stop_hits']} >= {GOPHER_MIN_STOP_HITS})"
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule document filter — the multi-signal quality
+    gate a pretraining pipeline runs corpus-wide. Scan-local narrow
+    projection (no shuffle): at 100 TB this runs at IO speed and the
+    boolean feeds a partition-pruning-friendly filter on write."""
+    t = _tok_frame(spark, sf_dir)
+    c = _gopher_cols(SPARK)
+    return t.select(
+        "doc_id",
+        F.expr(c["n_words"]).alias("n_words"),
+        F.expr(c["mean_word_len"]).alias("mean_word_len"),
+        F.expr(c["noalpha_frac"]).alias("noalpha_frac"),
+        F.expr(c["stop_hits"]).alias("stop_hits"),
+        F.expr(_gopher_pass(c)).alias("keep"),
+    )
+
+
+def gopher_quality_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    c = _gopher_cols(DUCK)
+    return f"""
+        with t as (select doc_id, {toks} as toks from documents)
+        select doc_id,
+               {c['n_words']} as n_words,
+               {c['mean_word_len']} as mean_word_len,
+               {c['noalpha_frac']} as noalpha_frac,
+               {c['stop_hits']} as stop_hits,
+               {_gopher_pass(c)} as keep
+        from t
+    """

@@ -24,7 +24,8 @@ Grouping (SURVEY.md §2 ids in parens):
     ingest batch vs corpus via the banded sketch join — the streaming
     ingest filter), simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk,
-    text_token_stats, text_quality, text_langid, text_fingerprint
+    text_token_stats, text_quality, text_gopher_quality (composite
+    Gopher-rule filter), text_langid, text_fingerprint
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
@@ -455,6 +456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
     "dedup_clusters": dedup.duplicate_clusters,
     "dedup_incremental": dedup.incremental_dedup_pairs,
+    "text_gopher_quality": textstats.gopher_quality,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -488,6 +490,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
+    "text_gopher_quality": textstats.gopher_quality_oracle(),
     "dedup_keep_canonical": dedup.dedup_keep_canonical_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
