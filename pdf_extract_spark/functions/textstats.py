@@ -284,3 +284,60 @@ def gopher_quality_oracle() -> str:
                {_gopher_pass(c)} as keep
         from t
     """
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratios (the other half of the Gopher filters): the
+    fraction of all token bigrams taken by the single most frequent
+    bigram per document. Plan: explode to (doc, bigram) → two-level
+    hash agg → max_by — shuffles on doc_id only (near-uniform key, ~n
+    rows), with map-side partial aggregation; no self-join."""
+    t = _tok_frame(spark, sf_dir)
+    # size guard: sequence(0, -1) would generate a DESCENDING sequence
+    # for 1-token docs — filter matches the oracle's len(toks) >= 2
+    bigrams = t.filter(F.expr("size(toks) >= 2")).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+        )).alias("bigram"),
+    )
+    per = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("top_cnt").cast("bigint").alias("top_bigram_cnt"),
+            F.expr("round(top_cnt / cast(n_bigrams as double), 6)")
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    return f"""
+        with t as (select doc_id, {toks} as toks from documents),
+        b as (
+            select doc_id, unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> concat(toks[i], ' ', toks[i + 1]))) as bigram
+            from t
+            where len(toks) >= 2
+        ),
+        per as (
+            select doc_id, bigram, count(*) as cnt
+            from b group by doc_id, bigram
+        )
+        select doc_id,
+               cast(sum(cnt) as bigint) as n_bigrams,
+               cast(max(cnt) as bigint) as top_bigram_cnt,
+               round(max(cnt) / cast(sum(cnt) as double), 6)
+                   as top_bigram_frac
+        from per group by doc_id
+    """

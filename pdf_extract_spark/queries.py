@@ -457,6 +457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup.duplicate_clusters,
     "dedup_incremental": dedup.incremental_dedup_pairs,
     "text_gopher_quality": textstats.gopher_quality,
+    "text_repetition": textstats.repetition_stats,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -491,6 +492,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
     "text_gopher_quality": textstats.gopher_quality_oracle(),
+    "text_repetition": textstats.repetition_stats_oracle(),
     "dedup_keep_canonical": dedup.dedup_keep_canonical_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
