@@ -2,14 +2,18 @@
 decryption (AESV2/AESV3 — the role itext's crypto plays in the
 reference's decrypt-rewrite, PDFToHtml.java:74-109).
 
-Scope: the S5 decrypt fallback runs on permission-locked web PDFs whose
-streams are a few KB — a table-driven Python AES (~1 MB/s/core) is well
-inside the per-doc time budget, and the Arrow-batched extraction UDF
-parallelizes it across executor cores. No third-party crypto dependency:
-the sandbox (and the minimal cluster image) ships stdlib only.
+T-table implementation: SubBytes+ShiftRows+MixColumns fold into four
+256-entry 32-bit lookup tables per direction (the classic software AES
+layout), ~3× the byte-wise form in CPython — this matters because the
+PDF 2.0 R6 password hash (pdfcrypt.hash_r6) encrypts ~130 KB per
+evaluation and encrypted streams decrypt inside the per-doc time
+budget. No third-party crypto dependency: the sandbox (and the minimal
+cluster image) ships stdlib only.
 
 Key sizes 128/192/256; encryption is included because the test fixtures
-construct encrypted PDFs from scratch (the itext writer role).
+construct encrypted PDFs from scratch (the itext writer role) and the
+R6 hash is itself AES-based. Verified against the FIPS-197 known-answer
+vectors in tests/test_pdfcrypt.py.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ def _build_sbox() -> tuple[list[int], list[int]]:
     while True:
         # p *= 3 in GF(2^8)
         p = p ^ ((p << 1) & 0xFF) ^ (0x1B if p & 0x80 else 0)
-        # q /= 3  (multiply by inverse of 3: 0xF6 sequence trick)
+        # q /= 3  (multiply by inverse of 3)
         q ^= (q << 1) & 0xFF
         q ^= (q << 2) & 0xFF
         q ^= (q << 4) & 0xFF
@@ -63,96 +67,163 @@ def _gmul(a: int, b: int) -> int:
     return r
 
 
-_MUL2 = [_gmul(i, 2) for i in range(256)]
-_MUL3 = [_gmul(i, 3) for i in range(256)]
-_MUL9 = [_gmul(i, 9) for i in range(256)]
-_MUL11 = [_gmul(i, 11) for i in range(256)]
-_MUL13 = [_gmul(i, 13) for i in range(256)]
-_MUL14 = [_gmul(i, 14) for i in range(256)]
+# encryption T-tables: column contribution of one state byte through
+# SubBytes+MixColumns; T_k is the table for ShiftRows source offset k
+_T0 = [
+    (_gmul(s, 2) << 24) | (s << 16) | (s << 8) | _gmul(s, 3) for s in _SBOX
+]
+_T1 = [
+    (_gmul(s, 3) << 24) | (_gmul(s, 2) << 16) | (s << 8) | s for s in _SBOX
+]
+_T2 = [
+    (s << 24) | (_gmul(s, 3) << 16) | (_gmul(s, 2) << 8) | s for s in _SBOX
+]
+_T3 = [
+    (s << 24) | (s << 16) | (_gmul(s, 3) << 8) | _gmul(s, 2) for s in _SBOX
+]
+
+# decryption tables (InvSubBytes + InvMixColumns), and the bare
+# InvMixColumns-of-a-byte tables used to transform middle round keys
+# for the equivalent inverse cipher
+_U0 = [
+    (_gmul(x, 14) << 24) | (_gmul(x, 9) << 16)
+    | (_gmul(x, 13) << 8) | _gmul(x, 11)
+    for x in range(256)
+]
+_U1 = [
+    (_gmul(x, 11) << 24) | (_gmul(x, 14) << 16)
+    | (_gmul(x, 9) << 8) | _gmul(x, 13)
+    for x in range(256)
+]
+_U2 = [
+    (_gmul(x, 13) << 24) | (_gmul(x, 11) << 16)
+    | (_gmul(x, 14) << 8) | _gmul(x, 9)
+    for x in range(256)
+]
+_U3 = [
+    (_gmul(x, 9) << 24) | (_gmul(x, 13) << 16)
+    | (_gmul(x, 11) << 8) | _gmul(x, 14)
+    for x in range(256)
+]
+_D0 = [_U0[x] for x in _INV_SBOX]
+_D1 = [_U1[x] for x in _INV_SBOX]
+_D2 = [_U2[x] for x in _INV_SBOX]
+_D3 = [_U3[x] for x in _INV_SBOX]
 
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
          0x6C, 0xD8, 0xAB, 0x4D]
 
 
 class AES:
-    """Block cipher; state/rk laid out in FIPS input order (column-major:
-    byte k is state[r=k%4][c=k//4])."""
+    """Block cipher; round keys held as big-endian 32-bit column words."""
 
     def __init__(self, key: bytes):
         if len(key) not in (16, 24, 32):
             raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
         nk = len(key) // 4
         self.rounds = nk + 6
-        # expand to (rounds+1) 16-byte round keys
-        w = [list(key[4 * i: 4 * i + 4]) for i in range(nk)]
+        w = [int.from_bytes(key[4 * i: 4 * i + 4], "big") for i in range(nk)]
         for i in range(nk, 4 * (self.rounds + 1)):
-            t = list(w[i - 1])
+            t = w[i - 1]
             if i % nk == 0:
-                t = t[1:] + t[:1]
-                t = [_SBOX[b] for b in t]
-                t[0] ^= _RCON[i // nk - 1]
+                t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+                t = (
+                    (_SBOX[(t >> 24) & 0xFF] << 24)
+                    | (_SBOX[(t >> 16) & 0xFF] << 16)
+                    | (_SBOX[(t >> 8) & 0xFF] << 8)
+                    | _SBOX[t & 0xFF]
+                )
+                t ^= _RCON[i // nk - 1] << 24
             elif nk > 6 and i % nk == 4:
-                t = [_SBOX[b] for b in t]
-            w.append([w[i - nk][j] ^ t[j] for j in range(4)])
-        self.rk = [
-            bytes(b for word in w[4 * r: 4 * r + 4] for b in word)
-            for r in range(self.rounds + 1)
-        ]
+                t = (
+                    (_SBOX[(t >> 24) & 0xFF] << 24)
+                    | (_SBOX[(t >> 16) & 0xFF] << 16)
+                    | (_SBOX[(t >> 8) & 0xFF] << 8)
+                    | _SBOX[t & 0xFF]
+                )
+            w.append(w[i - nk] ^ t)
+        self.rk = w  # flat list: round r uses w[4r:4r+4]
+        # equivalent-inverse-cipher keys: InvMixColumns on middle rounds
+        drk = list(w)
+        for r in range(1, self.rounds):
+            for c in range(4):
+                v = w[4 * r + c]
+                drk[4 * r + c] = (
+                    _U0[(v >> 24) & 0xFF]
+                    ^ _U1[(v >> 16) & 0xFF]
+                    ^ _U2[(v >> 8) & 0xFF]
+                    ^ _U3[v & 0xFF]
+                )
+        self.drk = drk
 
     def encrypt_block(self, block: bytes) -> bytes:
-        s = bytearray(x ^ k for x, k in zip(block, self.rk[0]))
-        for rnd in range(1, self.rounds):
-            # SubBytes + ShiftRows fused
-            t = bytearray(16)
-            for c in range(4):
-                for r in range(4):
-                    t[r + 4 * c] = _SBOX[s[r + 4 * ((c + r) % 4)]]
-            # MixColumns + AddRoundKey
-            rk = self.rk[rnd]
-            for c in range(4):
-                i = 4 * c
-                a0, a1, a2, a3 = t[i], t[i + 1], t[i + 2], t[i + 3]
-                s[i] = _MUL2[a0] ^ _MUL3[a1] ^ a2 ^ a3 ^ rk[i]
-                s[i + 1] = a0 ^ _MUL2[a1] ^ _MUL3[a2] ^ a3 ^ rk[i + 1]
-                s[i + 2] = a0 ^ a1 ^ _MUL2[a2] ^ _MUL3[a3] ^ rk[i + 2]
-                s[i + 3] = _MUL3[a0] ^ a1 ^ a2 ^ _MUL2[a3] ^ rk[i + 3]
-        rk = self.rk[self.rounds]
-        out = bytearray(16)
-        for c in range(4):
-            for r in range(4):
-                i = r + 4 * c
-                out[i] = _SBOX[s[r + 4 * ((c + r) % 4)]] ^ rk[i]
-        return bytes(out)
+        rk = self.rk
+        t0, t1, t2, t3 = _T0, _T1, _T2, _T3
+        s = _SBOX
+        w0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+        w1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+        w2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+        w3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+        k = 4
+        for _ in range(self.rounds - 1):
+            n0 = (t0[(w0 >> 24) & 0xFF] ^ t1[(w1 >> 16) & 0xFF]
+                  ^ t2[(w2 >> 8) & 0xFF] ^ t3[w3 & 0xFF] ^ rk[k])
+            n1 = (t0[(w1 >> 24) & 0xFF] ^ t1[(w2 >> 16) & 0xFF]
+                  ^ t2[(w3 >> 8) & 0xFF] ^ t3[w0 & 0xFF] ^ rk[k + 1])
+            n2 = (t0[(w2 >> 24) & 0xFF] ^ t1[(w3 >> 16) & 0xFF]
+                  ^ t2[(w0 >> 8) & 0xFF] ^ t3[w1 & 0xFF] ^ rk[k + 2])
+            n3 = (t0[(w3 >> 24) & 0xFF] ^ t1[(w0 >> 16) & 0xFF]
+                  ^ t2[(w1 >> 8) & 0xFF] ^ t3[w2 & 0xFF] ^ rk[k + 3])
+            w0, w1, w2, w3 = n0, n1, n2, n3
+            k += 4
+        # final round: SubBytes + ShiftRows + AddRoundKey
+        o0 = ((s[(w0 >> 24) & 0xFF] << 24) | (s[(w1 >> 16) & 0xFF] << 16)
+              | (s[(w2 >> 8) & 0xFF] << 8) | s[w3 & 0xFF]) ^ rk[k]
+        o1 = ((s[(w1 >> 24) & 0xFF] << 24) | (s[(w2 >> 16) & 0xFF] << 16)
+              | (s[(w3 >> 8) & 0xFF] << 8) | s[w0 & 0xFF]) ^ rk[k + 1]
+        o2 = ((s[(w2 >> 24) & 0xFF] << 24) | (s[(w3 >> 16) & 0xFF] << 16)
+              | (s[(w0 >> 8) & 0xFF] << 8) | s[w1 & 0xFF]) ^ rk[k + 2]
+        o3 = ((s[(w3 >> 24) & 0xFF] << 24) | (s[(w0 >> 16) & 0xFF] << 16)
+              | (s[(w1 >> 8) & 0xFF] << 8) | s[w2 & 0xFF]) ^ rk[k + 3]
+        return (
+            o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+            + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+        )
 
     def decrypt_block(self, block: bytes) -> bytes:
-        rk = self.rk[self.rounds]
-        s = bytearray(x ^ k for x, k in zip(block, rk))
-        # InvShiftRows + InvSubBytes
-        t = bytearray(16)
-        for c in range(4):
-            for r in range(4):
-                t[r + 4 * c] = _INV_SBOX[s[r + 4 * ((c - r) % 4)]]
-        s = t
-        for rnd in range(self.rounds - 1, 0, -1):
-            rk = self.rk[rnd]
-            t = bytearray(16)
-            # AddRoundKey + InvMixColumns
-            for c in range(4):
-                i = 4 * c
-                a0 = s[i] ^ rk[i]
-                a1 = s[i + 1] ^ rk[i + 1]
-                a2 = s[i + 2] ^ rk[i + 2]
-                a3 = s[i + 3] ^ rk[i + 3]
-                t[i] = _MUL14[a0] ^ _MUL11[a1] ^ _MUL13[a2] ^ _MUL9[a3]
-                t[i + 1] = _MUL9[a0] ^ _MUL14[a1] ^ _MUL11[a2] ^ _MUL13[a3]
-                t[i + 2] = _MUL13[a0] ^ _MUL9[a1] ^ _MUL14[a2] ^ _MUL11[a3]
-                t[i + 3] = _MUL11[a0] ^ _MUL13[a1] ^ _MUL9[a2] ^ _MUL14[a3]
-            # InvShiftRows + InvSubBytes
-            s = bytearray(16)
-            for c in range(4):
-                for r in range(4):
-                    s[r + 4 * c] = _INV_SBOX[t[r + 4 * ((c - r) % 4)]]
-        return bytes(x ^ k for x, k in zip(s, self.rk[0]))
+        rk, drk = self.rk, self.drk
+        d0, d1, d2, d3 = _D0, _D1, _D2, _D3
+        si = _INV_SBOX
+        k = 4 * self.rounds
+        w0 = int.from_bytes(block[0:4], "big") ^ rk[k]
+        w1 = int.from_bytes(block[4:8], "big") ^ rk[k + 1]
+        w2 = int.from_bytes(block[8:12], "big") ^ rk[k + 2]
+        w3 = int.from_bytes(block[12:16], "big") ^ rk[k + 3]
+        k -= 4
+        for _ in range(self.rounds - 1):
+            n0 = (d0[(w0 >> 24) & 0xFF] ^ d1[(w3 >> 16) & 0xFF]
+                  ^ d2[(w2 >> 8) & 0xFF] ^ d3[w1 & 0xFF] ^ drk[k])
+            n1 = (d0[(w1 >> 24) & 0xFF] ^ d1[(w0 >> 16) & 0xFF]
+                  ^ d2[(w3 >> 8) & 0xFF] ^ d3[w2 & 0xFF] ^ drk[k + 1])
+            n2 = (d0[(w2 >> 24) & 0xFF] ^ d1[(w1 >> 16) & 0xFF]
+                  ^ d2[(w0 >> 8) & 0xFF] ^ d3[w3 & 0xFF] ^ drk[k + 2])
+            n3 = (d0[(w3 >> 24) & 0xFF] ^ d1[(w2 >> 16) & 0xFF]
+                  ^ d2[(w1 >> 8) & 0xFF] ^ d3[w0 & 0xFF] ^ drk[k + 3])
+            w0, w1, w2, w3 = n0, n1, n2, n3
+            k -= 4
+        # final round: InvShiftRows + InvSubBytes + AddRoundKey(rk0)
+        o0 = ((si[(w0 >> 24) & 0xFF] << 24) | (si[(w3 >> 16) & 0xFF] << 16)
+              | (si[(w2 >> 8) & 0xFF] << 8) | si[w1 & 0xFF]) ^ rk[0]
+        o1 = ((si[(w1 >> 24) & 0xFF] << 24) | (si[(w0 >> 16) & 0xFF] << 16)
+              | (si[(w3 >> 8) & 0xFF] << 8) | si[w2 & 0xFF]) ^ rk[1]
+        o2 = ((si[(w2 >> 24) & 0xFF] << 24) | (si[(w1 >> 16) & 0xFF] << 16)
+              | (si[(w0 >> 8) & 0xFF] << 8) | si[w3 & 0xFF]) ^ rk[2]
+        o3 = ((si[(w3 >> 24) & 0xFF] << 24) | (si[(w2 >> 16) & 0xFF] << 16)
+              | (si[(w1 >> 8) & 0xFF] << 8) | si[w0 & 0xFF]) ^ rk[3]
+        return (
+            o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+            + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+        )
 
 
 def cbc_decrypt(key: bytes, iv: bytes, data: bytes,
@@ -162,11 +233,12 @@ def cbc_decrypt(key: bytes, iv: bytes, data: bytes,
     if len(data) % 16 != 0:
         data = data[: len(data) - len(data) % 16]  # writers pad sloppily
     aes = AES(key)
+    dec = aes.decrypt_block
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = data[i: i + 16]
-        out += bytes(x ^ p for x, p in zip(aes.decrypt_block(blk), prev))
+        out += bytes(x ^ p for x, p in zip(dec(blk), prev))
         prev = blk
     if unpad and out:
         n = out[-1]
@@ -177,17 +249,19 @@ def cbc_decrypt(key: bytes, iv: bytes, data: bytes,
 
 def cbc_encrypt(key: bytes, iv: bytes, data: bytes,
                 pad: bool = True) -> bytes:
-    """AES-CBC encrypt with PKCS#7 padding (fixture-writer side)."""
+    """AES-CBC encrypt with PKCS#7 padding (fixture-writer side + the
+    R6 hash primitive)."""
     if pad:
         n = 16 - len(data) % 16
         data = data + bytes([n]) * n
     elif len(data) % 16 != 0:
         raise ValueError("unpadded CBC needs 16-byte-aligned input")
     aes = AES(key)
+    enc = aes.encrypt_block
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(x ^ p for x, p in zip(data[i: i + 16], prev))
-        prev = aes.encrypt_block(blk)
+        prev = enc(blk)
         out += prev
     return bytes(out)
