@@ -106,3 +106,39 @@ def test_scorer_threshold_monotone(lines):
     assert sc.should_join("one two", "three four")
     sc.threshold = score - 1.0
     assert not sc.should_join("one two", "three four")
+
+
+def test_aes_cbc_roundtrip_property():
+    """Property: CBC decrypt ∘ encrypt = identity for random keys,
+    IVs, and payload lengths (all three key sizes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark.sources.aes import cbc_decrypt, cbc_encrypt
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        key=st.binary(min_size=16, max_size=16)
+        | st.binary(min_size=24, max_size=24)
+        | st.binary(min_size=32, max_size=32),
+        iv=st.binary(min_size=16, max_size=16),
+        payload=st.binary(min_size=0, max_size=300),
+    )
+    def check(key, iv, payload):
+        assert cbc_decrypt(key, iv, cbc_encrypt(key, iv, payload)) == payload
+
+    check()
+
+
+def test_rc4_aes_object_key_determinism():
+    """Property: per-object keys are deterministic and distinct across
+    object numbers (Algorithm 1 — a collision would decrypt one object
+    with another's keystream)."""
+    from tests.test_pdfcrypt import DOC_ID, _perm, make_encrypted_pdf
+    from pdf_extract_spark.sources.pdfparse import PDFDocument
+
+    pdf = make_encrypted_pdf(4, 4, 128, _perm(3, 5, 12), cfm="AESV2")
+    doc = PDFDocument(pdf)
+    keys = {doc.crypt.object_key(n, 0) for n in range(1, 40)}
+    assert len(keys) == 39
+    assert doc.crypt.object_key(7, 0) == doc.crypt.object_key(7, 0)
