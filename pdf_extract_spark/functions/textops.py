@@ -163,6 +163,7 @@ class FontDecoder:
         self.widths: dict[int, float] = {}
         self.default_w: float | None = None
         self.is_cid = subtype == "Type0"
+        self.cid_ucs2 = False
         self._agg_cache: dict[bytes, tuple[str, float, int, int]] = {}
         self._code_table: dict[int, tuple[int, str, float]] = {}
 
@@ -179,6 +180,17 @@ class FontDecoder:
 
         if self.is_cid:
             self.code_bytes = max(self.code_bytes, 2)
+            # predefined Uni*-UCS2 CMaps (UniGB/UniCNS/UniJIS/UniKS
+            # -UCS2-H/V): the 2-byte code IS the UCS-2 codepoint, so CJK
+            # text decodes without a ToUnicode stream (poppler ships the
+            # full Adobe CMap files; the UCS2 family is the common case
+            # and needs no table)
+            enc_name = doc.resolve(font.get("Encoding"))
+            self.cid_ucs2 = (
+                isinstance(enc_name, (Name, str))
+                and str(enc_name).startswith("Uni")
+                and "UCS2" in str(enc_name)
+            )
             desc_list = doc.resolve(font.get("DescendantFonts")) or []
             desc = doc.resolve(desc_list[0]) if desc_list else {}
             if isinstance(desc, dict):
@@ -320,6 +332,9 @@ class FontDecoder:
                 if uni is None:
                     if not self.is_cid and 32 <= code <= 126:
                         uni = chr(code)
+                    elif (self.cid_ucs2 and code >= 32
+                          and not 0xD800 <= code <= 0xDFFF):
+                        uni = chr(code)  # UCS2 CMap: code = codepoint
                     else:
                         uni = ""  # unmapped glyph — drop (poppler emits nothing)
                 hit = (code, uni, self.width_of(code))

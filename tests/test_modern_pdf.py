@@ -75,3 +75,44 @@ def test_modern_pdf_extracts():
     assert [t for k, t, _, _ in res.spans if k == "text"] == [
         "Modern layout works"
     ]
+
+
+def test_type0_ucs2_cmap_without_tounicode():
+    """Type0 font with a predefined Uni*-UCS2 /Encoding and NO ToUnicode
+    stream: 2-byte codes decode as UCS-2 codepoints (CJK fidelity —
+    poppler resolves this via Adobe's CMap files; the UCS2 family needs
+    no table)."""
+    from pdf_extract_spark.operators.extract import extract_pdf
+
+    text = "中文测试"
+    hexstr = "".join(f"{ord(c):04X}" for c in text)
+    stream = f"BT /F1 12 Tf 72 700 Td <{hexstr}> Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light"
+        b" /Encoding /UniGB-UCS2-H /DescendantFonts [ 6 0 R ] >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light"
+        b" /DW 1000 /CIDSystemInfo << /Registry (Adobe) /Ordering (GB1)"
+        b" /Supplement 2 >> >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+
+    res = extract_pdf(bytes(buf))
+    assert res.error is None
+    texts = [t for k, t, _, _ in res.spans if k == "text"]
+    assert texts == [text], texts

@@ -98,6 +98,7 @@ class TestTextOps:
         dec.default_w = 500.0
         dec.basefont = ""
         dec.is_cid = True
+        dec.cid_ucs2 = False
         dec._code_table = {}
         out = dec.decode(b"\x01")
         assert out == [(1, "", 500.0)]
