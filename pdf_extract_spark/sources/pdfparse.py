@@ -399,6 +399,22 @@ def decode_stream(sdict: dict, raw: bytes, doc: "PDFDocument | None" = None) -> 
                 data = base64.a85decode(body)
             except ValueError:
                 return b""
+        elif fname in ("RunLengthDecode", "RL"):
+            out = bytearray()
+            i = 0
+            n = len(data)
+            while i < n:
+                ln = data[i]
+                if ln == 128:  # EOD
+                    break
+                if ln < 128:
+                    out += data[i + 1: i + 2 + ln]
+                    i += 2 + ln
+                else:
+                    if i + 1 < n:
+                        out += bytes([data[i + 1]]) * (257 - ln)
+                    i += 2
+            data = bytes(out)
         else:
             # image codecs (DCTDecode/JPXDecode/CCITT/JBIG2) — opaque payloads,
             # never needed for text extraction

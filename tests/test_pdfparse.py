@@ -120,3 +120,14 @@ class TestDocument:
         if data is None:
             pytest.skip("reference fixtures unavailable")
         assert len(PDFDocument(data).pages()) == n_pages
+
+
+def test_runlength_decode_filter():
+    """RunLengthDecode (PDF §7.4.5): literal runs, replicate runs, EOD."""
+    from pdf_extract_spark.sources.pdfparse import decode_stream
+
+    # literal "AB", replicate "C"*4, EOD, trailing junk ignored
+    enc = bytes([1]) + b"AB" + bytes([253]) + b"C" + bytes([128]) + b"xx"
+    out = decode_stream({"Filter": "RunLengthDecode"}, enc)
+    assert out == b"ABCCCC"
+    assert decode_stream({"Filter": "RL"}, enc) == b"ABCCCC"
