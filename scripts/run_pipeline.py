@@ -46,9 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", default=None,
                     help="PDFExtract.json-compatible rule config")
     ap.add_argument("--sj-model", default=None,
-                    help="W4 sentence-join ARPA model prefix (expects "
-                         "{prefix}.forward.lm/.backward.lm[/.threshold]; "
-                         "ship to executors with spark-submit --files)")
+                    help="W4 sentence-join model: a binary .blm file "
+                         "(train_sentencejoin.py --convert) or an ARPA "
+                         "prefix ({prefix}.forward.lm/.backward.lm"
+                         "[/.threshold]); ship to executors with "
+                         "spark-submit --files)")
     ap.add_argument("--sj-threshold", type=float, default=None,
                     help="sentence-join decision threshold (default 7.0 "
                          "or {prefix}.threshold)")
