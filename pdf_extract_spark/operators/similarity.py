@@ -138,3 +138,104 @@ def ann_ivf_topk_oracle() -> str:
         select query_id, cand_id, cos, rank from ranked
         where rank <= {TOP_K}
     """
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH: sign-random-projection near-dup (label-free scale path)
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 16
+SRP_ROWS = 4
+SRP_BANDS = SRP_BITS // SRP_ROWS
+SRP_COS_TAU = 0.45  # same verify threshold as dedup_embedding_cosine
+
+
+def _srp_bit(v: str, j: int, d: str) -> str:
+    """Bit j of the sign-random-projection signature: sign of dot(v,
+    h_j) where hyperplane h_j[i] = ±1 comes from a deterministic
+    integer mix of (dimension i, plane j) — identical arithmetic in
+    both engines, so the oracle cross-checks the exact signature. The
+    mixed value's 16th bit is used (the low bit of a linear form is
+    just parity(i+j) — correlated, not pseudo-random)."""
+    mix = K.intdiv(f"(i * 2654435761 + {(j + 1) * 40503})", "65536", d)
+    lam = (f"i -> {K.at(v, 'i', d)} * "
+           f"(1.0 - 2.0 * cast(({mix}) % 2 as double))")
+    prods = K.xform(K.seq1(K.asize(v, d), d), lam, d)
+    proj = K.fold(prods, "cast(0.0 as double)", "(acc, x) -> acc + x", d)
+    return f"(case when {proj} >= 0 then 1 else 0 end)"
+
+
+def _srp_band_key(v: str, bi: int, d: str) -> str:
+    terms = " + ".join(
+        f"({_srp_bit(v, bi * SRP_ROWS + r, d)} * {1 << r})"
+        for r in range(SRP_ROWS)
+    )
+    return f"({terms})"
+
+
+def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH banding + exact cosine
+    verify — the scale sibling of ``dedup_embedding_cosine`` that needs
+    NO precomputed cell labels (ann_ivf's coarse quantizer): candidate
+    generation is a banded equi-join on 4-bit signature bands, O(n·bands)
+    like MinHash-LSH, then the same cosine ≥ τ verify. Recall is
+    probabilistic by construction (banding trades recall for the
+    elimination of the O(n²) stage); the oracle mirrors the bands
+    exactly so the cross-check is deterministic."""
+    emb = _emb(spark, sf_dir).select("vec_id", "v").persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.expr(_srp_band_key("v", bi, SPARK)).alias("band_key"),
+            )
+            for bi in range(SRP_BANDS)
+        ]
+    )
+    bands = emb.select(
+        "vec_id", F.explode(band_structs).alias("bk")
+    ).select("vec_id", "bk.band_idx", "bk.band_key")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+    cos = K.cosine("ea.v", "eb.v", SPARK)
+    return (
+        cand.join(emb.alias("ea"), cand["vec_id_a"] == F.col("ea.vec_id"))
+        .join(emb.alias("eb"), cand["vec_id_b"] == F.col("eb.vec_id"))
+        .select("vec_id_a", "vec_id_b", F.expr(cos).alias("cos"))
+        .filter(F.col("cos") >= SRP_COS_TAU)
+    )
+
+
+def srp_neardup_pairs_oracle() -> str:
+    band_rows = " union all ".join(
+        f"select vec_id, {bi} as band_idx,"
+        f" {_srp_band_key('v', bi, DUCK)} as band_key from e"
+        for bi in range(SRP_BANDS)
+    )
+    cos = K.cosine("ea.v", "eb.v", DUCK)
+    return f"""
+        with e as (
+            select vec_id, {K.as_double_array('embedding', DUCK)} as v
+            from embeddings
+        ),
+        bands as ({band_rows}),
+        cand as (
+            select distinct a.vec_id as vec_id_a, b.vec_id as vec_id_b
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_key = b.band_key
+             and a.vec_id < b.vec_id
+        )
+        select cand.vec_id_a, cand.vec_id_b, {cos} as cos
+        from cand
+        join e ea on cand.vec_id_a = ea.vec_id
+        join e eb on cand.vec_id_b = eb.vec_id
+        where {cos} >= {SRP_COS_TAU}
+    """

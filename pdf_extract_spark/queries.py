@@ -458,6 +458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": dedup.incremental_dedup_pairs,
     "text_gopher_quality": textstats.gopher_quality,
     "text_repetition": textstats.repetition_stats,
+    "dedup_embedding_srp": similarity.srp_neardup_pairs,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
@@ -493,6 +494,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
     "text_gopher_quality": textstats.gopher_quality_oracle(),
     "text_repetition": textstats.repetition_stats_oracle(),
+    "dedup_embedding_srp": similarity.srp_neardup_pairs_oracle(),
     "dedup_keep_canonical": dedup.dedup_keep_canonical_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
