@@ -181,7 +181,13 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     like MinHash-LSH, then the same cosine ≥ τ verify. Recall is
     probabilistic by construction (banding trades recall for the
     elimination of the O(n²) stage); the oracle mirrors the bands
-    exactly so the cross-check is deterministic."""
+    exactly so the cross-check is deterministic.
+
+    Perf note: the signature is 16 interpreted Catalyst folds per row —
+    chosen because sequential float64 folds cross-check bit-identically
+    against DuckDB (the text_fingerprint tradeoff). At production scale
+    the signature step becomes one Arrow-batched numpy matmul
+    (vectors @ signs.T > 0) with the SAME banding plan downstream."""
     emb = _emb(spark, sf_dir).select("vec_id", "v").persist()
     band_structs = F.array(
         *[
