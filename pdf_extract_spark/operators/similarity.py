@@ -245,3 +245,51 @@ def srp_neardup_pairs_oracle() -> str:
         join e eb on cand.vec_id_b = eb.vec_id
         where {cos} >= {SRP_COS_TAU}
     """
+
+
+def srp_signatures_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-path SRP signature stage: one Arrow-batched numpy
+    matmul per batch (``vectors @ signs.T >= 0``) producing the SAME
+    16-bit signatures as the Catalyst fold form (identical deterministic
+    hyperplanes; equality is regression-tested). Downstream banding is
+    unchanged — at 10^12 vectors this replaces 16 interpreted folds per
+    row with one BLAS call per batch."""
+    import numpy as np
+    import pandas as pd
+
+    def sig_batches(batches):
+        signs_cache: dict[int, "np.ndarray"] = {}
+
+        def signs_for(d: int) -> "np.ndarray":
+            s = signs_cache.get(d)
+            if s is None:
+                i = np.arange(1, d + 1, dtype=np.int64)[:, None]
+                j = np.arange(SRP_BITS, dtype=np.int64)[None, :]
+                bit = ((i * 2654435761 + (j + 1) * 40503) // 65536) % 2
+                s = (1.0 - 2.0 * bit).astype(np.float64)  # (d, bits)
+                signs_cache[d] = s
+            return s
+
+        for b in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b["embedding"]]
+            )
+            proj = vecs @ signs_for(vecs.shape[1])
+            bits = (proj >= 0).astype(np.int64)
+            sig = (bits << np.arange(SRP_BITS, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": b["vec_id"], "srp_sig": sig})
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        sig_batches, schema="vec_id long, srp_sig long"
+    )
+
+
+def srp_signatures_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fold-form signatures as one integer per vector (test surface
+    for fast-path equivalence)."""
+    emb = _emb(spark, sf_dir)
+    sig = " + ".join(
+        f"({_srp_bit('v', j, SPARK)} * {1 << j})" for j in range(SRP_BITS)
+    )
+    return emb.select("vec_id", F.expr(sig).cast("long").alias("srp_sig"))
