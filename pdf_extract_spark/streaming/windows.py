@@ -24,6 +24,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -162,5 +163,55 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputStructType=_SESSION_OUT,
         stateStructType=_SESSION_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming exact dedup (first-seen wins)
+# ---------------------------------------------------------------------------
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+#: per content-hash: how many docs carrying it have been seen so far
+_DEDUP_STATE = StructType([StructField("n_seen", LongType())])
+
+
+def _dedup_group(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-seen-wins exact dedup: the first micro-batch in which a
+    content hash appears emits ONE canonical row (min doc_id within
+    that batch, deterministic); every later arrival is swallowed and
+    counted. The streaming twin of dedup_exact + dedup_keep_canonical:
+    state is one counter per distinct hash, sharded by the groupBy —
+    bounded by corpus cardinality, not stream length."""
+    chunks = list(pdfs)
+    rows = pd.concat(chunks) if chunks else pd.DataFrame({"doc_id": []})
+    existed = state.exists
+    n = state.get[0] if existed else 0
+    state.update((n + len(rows),))
+    if not existed and len(rows):
+        first_id = int(rows["doc_id"].min())
+        yield pd.DataFrame([{"doc_id": first_id, "text_md5": key[0]}])
+
+
+def dedup_docs_stream(docs: DataFrame) -> DataFrame:
+    """Streaming ingest dedup over (doc_id, text): emits the canonical
+    (first-seen) doc per exact-content hash; duplicates arriving in any
+    later micro-batch are dropped by keyed state."""
+    hashed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_md5")
+    )
+    return hashed.groupBy("text_md5").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

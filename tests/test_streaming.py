@@ -170,3 +170,60 @@ def test_sessionize_group_cross_chunk_order_and_late_drop():
     rows2 = {int(r.sess_id): (int(r.n_events), int(r.duration_us))
              for r in out2[0].itertuples()}
     assert rows2 == {2: (3, 2)}
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """Streaming exact dedup: the kept set over a doc_id-ordered
+    2-batch stream equals batch-mode dedup_exact's canonical set, and
+    a duplicate arriving in a LATER micro-batch is dropped by state."""
+    import os
+
+    from pdf_extract_spark.streaming.windows import (
+        dedup_docs_stream,
+        run_available_now,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.001)[0]
+    d = str(tmp_path / "docs_stream")
+    os.makedirs(d)
+    docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "overwrite").parquet(d + "/tmp_a")
+    docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "overwrite").parquet(d + "/tmp_b")
+    i = 0
+    for sub in ("tmp_a", "tmp_b"):
+        for f in sorted(os.listdir(d + "/" + sub)):
+            if f.endswith(".parquet"):
+                os.link(f"{d}/{sub}/{f}", f"{d}/{i:02d}.parquet")
+                i += 1
+
+    # third micro-batch: exact duplicates of early docs under NEW
+    # doc_ids — cross-batch state must swallow them
+    dup = docs.filter(F.col("doc_id") <= 10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    dup.coalesce(1).write.mode("overwrite").parquet(d + "/tmp_c")
+    for f in sorted(os.listdir(d + "/tmp_c")):
+        if f.endswith(".parquet"):
+            os.link(f"{d}/tmp_c/{f}", f"{d}/{i:02d}.parquet")
+            i += 1
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    kept = run_available_now(
+        dedup_docs_stream(sdf), "dedup_stream_t", output_mode="append"
+    )
+    kept_ids = {r.doc_id for r in kept.collect()}
+
+    # batch oracle: canonical = min doc_id per content hash — identical
+    # because the stream arrives in doc_id order
+    batch = (
+        docs.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("h"))
+        .groupBy("h").agg(F.min("doc_id").alias("rep"))
+    )
+    batch_ids = {r.rep for r in batch.collect()}
+    assert kept_ids == batch_ids
