@@ -2,9 +2,12 @@
 
 The reference has no dataflow streaming (its "stream" API is a byte-stream
 overload, SURVEY.md §2.9) — this module is the engine-completeness
-extension: event-time windowed aggregation with a watermark, and a custom
+extension: event-time windowed aggregation with a watermark, a custom
 stateful sessionizer via ``applyInPandasWithState`` (the streaming form of
-the W2 gap-segmentation query in queries.py session_window).
+the W2 gap-segmentation query in queries.py session_window), streaming
+first-seen exact dedup (keyed state), and streaming MinHash near-dup of
+arriving docs against a static corpus sketch (stateless stream-static
+band join — the ingest-time filter of dedup_incremental).
 
 Scale notes: the windowed aggregate shuffles on (window, event_type) with
 partial aggregation map-side; state for the sessionizer is keyed by
@@ -214,4 +217,86 @@ def dedup_docs_stream(docs: DataFrame) -> DataFrame:
         stateStructType=_DEDUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup: new docs vs a static corpus sketch (stream-static)
+# ---------------------------------------------------------------------------
+
+
+def corpus_sketch(docs: DataFrame):
+    """Static side of the streaming near-dup join: the corpus's MinHash
+    band keys + shingle sets — at scale this is the materialized sketch
+    table the batch ``dedup_incremental`` also reads (signatures are
+    computed ONCE at ingest, not per query)."""
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import SPARK
+    from ..operators.dedup import LSH_BANDS, LSH_ROWS, N_MINHASH, SHINGLE_W
+
+    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
+    sized = docs.select(
+        "doc_id", F.expr(sh).alias("sh")
+    ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
+    sig = sized.select(
+        "doc_id", "sh", "n_sh",
+        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
+          for j in range(N_MINHASH)],
+    )
+    bands = None
+    for bi in range(LSH_BANDS):
+        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
+        b = sig.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("sh").alias("corpus_sh"),
+            F.col("n_sh").alias("corpus_n_sh"),
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *cols).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def neardup_stream(new_docs: DataFrame, sketch: DataFrame) -> DataFrame:
+    """Streaming MinHash near-dup: each arriving doc's bands equi-join
+    the static corpus sketch (a stateless stream-static join — no
+    streaming state at all), then the exact-jaccard verify. Emits
+    (new_id, corpus_id, jacc) per detected near-dup; the ingest filter
+    is an anti-join of the batch against these ids downstream."""
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import SPARK
+    from ..operators.dedup import (
+        JACCARD_TAU,
+        LSH_BANDS,
+        LSH_ROWS,
+        N_MINHASH,
+        SHINGLE_W,
+    )
+
+    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
+    sized = new_docs.select(
+        F.col("doc_id").alias("new_id"), F.expr(sh).alias("new_sh")
+    ).withColumn("new_n_sh", F.expr(K.asize("new_sh", SPARK)))
+    sig = sized.select(
+        "new_id", "new_sh", "new_n_sh",
+        *[F.expr(K.minhash("new_sh", j, SPARK)).alias(f"mh{j}")
+          for j in range(N_MINHASH)],
+    )
+    bands = None
+    for bi in range(LSH_BANDS):
+        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
+        b = sig.select(
+            "new_id", "new_sh", "new_n_sh",
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *cols).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    jac = K.jaccard("new_sh", "corpus_sh", "new_n_sh", "corpus_n_sh", SPARK)
+    return (
+        bands.join(sketch, ["band_idx", "band_key"])
+        .select(
+            "new_id", "corpus_id", F.expr(jac).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= JACCARD_TAU)
+        .dropDuplicates(["new_id", "corpus_id"])
     )

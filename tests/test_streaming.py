@@ -227,3 +227,52 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     )
     batch_ids = {r.rep for r in batch.collect()}
     assert kept_ids == batch_ids
+
+
+def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
+    """Stream-static near-dup: new docs streamed against the corpus
+    sketch emit exactly the pairs batch-mode dedup_incremental finds
+    (same split: doc_id % 10 == 0 is 'new')."""
+    import os
+
+    from pdf_extract_spark.operators.dedup import incremental_dedup_pairs
+    from pdf_extract_spark.streaming.windows import (
+        corpus_sketch,
+        neardup_stream,
+        run_available_now,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    sketch = corpus_sketch(corpus).persist()
+
+    d = str(tmp_path / "new_docs")
+    os.makedirs(d)
+    mid = new.approxQuantile("doc_id", [0.5], 0.001)[0]
+    new.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(d + "/tmp_a")
+    new.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(d + "/tmp_b")
+    i = 0
+    for sub in ("tmp_a", "tmp_b"):
+        for f in sorted(os.listdir(f"{d}/{sub}")):
+            if f.endswith(".parquet"):
+                os.link(f"{d}/{sub}/{f}", f"{d}/{i:02d}.parquet")
+                i += 1
+
+    sdf = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = run_available_now(
+        neardup_stream(sdf, sketch), "neardup_stream_t",
+        output_mode="append",
+    )
+    stream_pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
+
+    batch_pairs = {
+        (r.new_id, r.corpus_id)
+        for r in incremental_dedup_pairs(spark, SF_DIR).collect()
+    }
+    assert stream_pairs == batch_pairs
