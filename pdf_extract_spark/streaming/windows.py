@@ -10,10 +10,14 @@ arriving docs against a static corpus sketch (stateless stream-static
 band join — the ingest-time filter of dedup_incremental).
 
 Scale notes: the windowed aggregate shuffles on (window, event_type) with
-partial aggregation map-side; state for the sessionizer is keyed by
-user_id — at 10^12 events the key space shards across executors and the
-watermark bounds state size (late rows beyond it are dropped rather than
-kept forever).
+partial aggregation map-side and its watermark bounds both state and
+late data. The keyed stateful operators shard state across executors by
+their group key; state size is bounded by KEY CARDINALITY (users /
+distinct hashes), not stream length — a production deployment adds
+GroupStateTimeout.ProcessingTimeTimeout to retire idle keys. The
+sessionizer drops events behind its carried frontier (the stateful
+analogue of the watermark's late-data policy); the stream-static
+near-dup join keeps no state at all.
 """
 
 from __future__ import annotations
