@@ -18,14 +18,17 @@ Grouping (SURVEY.md §2 ids in parens):
   training-data pipeline (operators/dedup.py, similarity.py,
   functions/textstats.py docstrings carry the scale design)
     dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
-    dedup_simhash, dedup_embedding_cosine, dedup_clusters (connected
-    components over the pair graph), dedup_keep_canonical (the apply
-    step: surviving corpus after near-dedup), dedup_incremental (new
-    ingest batch vs corpus via the banded sketch join — the streaming
-    ingest filter), simhash_fingerprints,
+    dedup_simhash, dedup_embedding_cosine, dedup_embedding_srp
+    (sign-random-projection LSH — label-free embedding scale path),
+    dedup_clusters (connected components over the pair graph),
+    dedup_keep_canonical (the apply step: surviving corpus after
+    near-dedup), dedup_incremental (new ingest batch vs corpus via the
+    banded sketch join — the streaming ingest filter),
+    simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk,
     text_token_stats, text_quality, text_gopher_quality (composite
-    Gopher-rule filter), text_langid, text_fingerprint
+    Gopher-rule filter), text_repetition (top-bigram ratio),
+    text_langid, text_fingerprint
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
