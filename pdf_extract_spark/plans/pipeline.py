@@ -379,6 +379,35 @@ def extract_spans(
     return run(big).unionByName(run(small))
 
 
+def extract_spans_mirror_dedup(df: DataFrame, **kwargs) -> DataFrame:
+    """Mirror-aware extraction: web corpora carry many byte-identical
+    documents (mirrors, re-crawls); extract each DISTINCT payload once
+    and join the result back to every carrier doc_id.
+
+    Plan: md5(payload) → dropDuplicates (one hash-agg shuffle of the
+    payload) → the normal narrow extraction over distinct payloads →
+    equi-join results back on the hash. Worth it when duplicate bytes
+    dominate compute (heavy mirrored PDFs); for low-duplication corpora
+    the two payload shuffles cost more than the saved extraction — this
+    is why it is opt-in (BENCH.md §4: payload shuffles measured ~40%
+    of extraction wall at sf0.1). Per-doc timing columns reflect the
+    one real extraction, shared by its mirrors."""
+    hashed = df.select("doc_id", "spans").withColumn(
+        "payload_md5", F.md5(F.to_json("spans"))
+    )
+    reps = (
+        hashed.select(F.col("payload_md5").alias("doc_id"), "spans")
+        .dropDuplicates(["doc_id"])
+    )
+    extracted = extract_spans(reps, **kwargs).withColumnRenamed(
+        "doc_id", "payload_md5"
+    )
+    out = hashed.select("doc_id", "payload_md5").join(
+        extracted, "payload_md5"
+    )
+    return out.select(*[f.name for f in OUTPUT_SCHEMA.fields])
+
+
 HTML_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),

@@ -188,3 +188,36 @@ def test_read_pdf_dir_source(spark, tmp_path):
     assert all(r["error"] is None for r in rows)
     assert all(r["doc_id"].endswith(".pdf") for r in rows)
     assert all(len(r["spans"]) > 0 for r in rows)
+
+
+def test_mirror_dedup_extraction_equivalent(spark):
+    """extract_spans_mirror_dedup produces the same per-doc results as
+    plain extract_spans on a corpus with byte-identical mirrors, while
+    extracting each distinct payload only once."""
+    import pandas as pd
+
+    from pdf_extract_spark.plans.pipeline import (
+        extract_spans,
+        extract_spans_mirror_dedup,
+    )
+    from pdf_extract_spark.sources.corpus import corpus_pandas
+
+    base = corpus_pandas(6, use_fixtures=False)
+    mirrored = pd.concat([
+        base,
+        base.assign(doc_id=base["doc_id"] + "_mirror"),
+    ], ignore_index=True)
+    df = spark.createDataFrame(mirrored)
+
+    plain = {r.doc_id: r for r in extract_spans(df).collect()}
+    dedup = {r.doc_id: r for r in extract_spans_mirror_dedup(df).collect()}
+    assert set(plain) == set(dedup)
+    for k in plain:
+        assert [tuple(s) for s in plain[k].spans] == \
+            [tuple(s) for s in dedup[k].spans], k
+        assert plain[k].lang == dedup[k].lang
+        assert plain[k].error == dedup[k].error
+        # mirror pairs share one extraction's result
+        assert [tuple(s) for s in dedup[k].spans] == \
+            [tuple(s) for s in dedup[k.replace("_mirror", "") if
+                                     k.endswith("_mirror") else k + "_mirror"].spans]
