@@ -530,12 +530,15 @@ def run_pipeline(
     sj_threshold: float | None = None,
     time_budget_s: float | None = None,
     input_format: str = "table",
+    dedup_mirrors: bool = False,
 ) -> dict:
     """spark-submit entry: read → (resume anti-join) → extract → commit.
 
     ``input_format="pdf-dir"`` reads a directory of raw PDF files (the
     reference's -I/-B modes) instead of an interleaved table.
-    Returns a summary dict (docs in/out, run_id)."""
+    ``dedup_mirrors=True`` extracts each distinct payload once (see
+    extract_spans_mirror_dedup). Returns a summary dict (docs in/out,
+    run_id)."""
     from ..sources.tableio import TableIO
 
     io = TableIO(spark)
@@ -552,10 +555,11 @@ def run_pipeline(
         # committed set approaches the full corpus, and a forced hint
         # bypasses AQE's size check — let AQE pick broadcast vs shuffle
         df = df.join(done, "doc_id", "left_anti")
-    out = extract_spans(df, config=config, max_pages=max_pages,
-                        num_partitions=num_partitions,
-                        sj_model=sj_model, sj_threshold=sj_threshold,
-                        time_budget_s=time_budget_s)
+    extract_fn = extract_spans_mirror_dedup if dedup_mirrors else extract_spans
+    out = extract_fn(df, config=config, max_pages=max_pages,
+                     num_partitions=num_partitions,
+                     sj_model=sj_model, sj_threshold=sj_threshold,
+                     time_budget_s=time_budget_s)
     out = out.persist()
     n_out = out.count()
     # Write lineage BEFORE appending the output: on resume, `out` depends

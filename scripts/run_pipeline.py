@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--keep-br", action="store_true",
                     help="with --html: keep <br /> line tags inside "
                          "paragraphs (the reference's -K keepbrtags)")
+    ap.add_argument("--dedup-mirrors", action="store_true",
+                    help="extract each distinct payload once and join "
+                         "results back (mirror-heavy corpora)")
     ap.add_argument("--input-format", choices=["table", "pdf-dir"],
                     default="table",
                     help="'pdf-dir' reads a directory of raw .pdf files "
@@ -106,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             sj_threshold=args.sj_threshold,
             time_budget_s=args.time_budget,
             input_format=args.input_format,
+            dedup_mirrors=args.dedup_mirrors,
         )
     print(json.dumps(summary))
     return 0
