@@ -221,3 +221,36 @@ def test_mirror_dedup_extraction_equivalent(spark):
         assert [tuple(s) for s in dedup[k].spans] == \
             [tuple(s) for s in dedup[k.replace("_mirror", "") if
                                      k.endswith("_mirror") else k + "_mirror"].spans]
+
+
+def test_run_pipeline_mirror_dedup_with_resume(spark, tmp_path):
+    """Integration: --dedup-mirrors composes with resume + lineage —
+    a mirrored corpus extracts once per distinct payload, commits all
+    carrier docs, and a resumed run finds nothing left."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.sources.corpus import corpus_pandas
+
+    base = corpus_pandas(6, use_fixtures=False)
+    mirrored = pd.concat(
+        [base, base.assign(doc_id=base["doc_id"] + "_m")],
+        ignore_index=True,
+    )
+    inp = str(tmp_path / "in_mirror")
+    outp = str(tmp_path / "out_mirror")
+    spark.createDataFrame(mirrored).write.parquet(inp)
+
+    r1 = pipeline.run_pipeline(spark, inp, outp, dedup_mirrors=True)
+    assert r1["n_docs"] == 12
+    out = spark.read.parquet(outp)
+    assert out.count() == 12
+    assert out.filter(F.col("error").isNotNull()).count() == 0
+    # mirror pairs carry identical spans
+    rows = {r.doc_id: [tuple(s) for s in r.spans] for r in out.collect()}
+    for k in base["doc_id"]:
+        assert rows[k] == rows[k + "_m"]
+
+    r2 = pipeline.run_pipeline(spark, inp, outp, resume=True,
+                               dedup_mirrors=True)
+    assert r2["n_docs"] == 0
