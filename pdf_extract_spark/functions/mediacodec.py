@@ -1,0 +1,211 @@
+"""Stdlib-only media decoders for the multimodal pipeline.
+
+The sandbox (and a minimal cluster image) has no PIL/libav, but several
+formats need none: BMP pixel decode (uncompressed 24/32-bit) with a real
+8×8 average-hash, container-header dimension parsing for PNG/JPEG/GIF,
+and WAV audio via the stdlib ``wave`` module. Everything here validates
+strictly and returns ``None`` on any mismatch, so the multimodal
+dispatcher falls back to the deterministic stub for payloads these
+parsers don't cover (the compressed-pixel formats that do need PIL).
+
+Feature mapping into the fixed FEATURE_SCHEMA:
+  * images: width/height = pixel dims; phash = 64-bit aHash for BMP
+    (real pixels), payload polyhash for header-only formats.
+  * audio (WAV): width = sample rate, height = channel count,
+    phash = polyhash of the first 4 KB of frames (documented overload
+    of the image-named columns — one schema serves all media kinds).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .sqlkit import BASE, PRIME
+
+
+def _polyhash(data: bytes) -> int:
+    acc = 0
+    for b in data:
+        acc = (acc * BASE + b) % PRIME
+    return acc
+
+
+# -- PNG --------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(b: bytes) -> tuple[int, int] | None:
+    """IHDR width/height (always the first chunk, offset 16)."""
+    if len(b) < 24 or not b.startswith(_PNG_MAGIC) or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    if not (0 < w < 1 << 24 and 0 < h < 1 << 24):
+        return None
+    return w, h
+
+
+# -- JPEG -------------------------------------------------------------------
+
+
+def parse_jpeg_sof(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG segments to the first SOFn and read its dimensions."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", b[i + 2: i + 4])[0]
+        if seg_len < 2:
+            return None
+        # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[i + 5: i + 9])
+            if w == 0 or h == 0:
+                return None
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+# -- GIF --------------------------------------------------------------------
+
+
+def parse_gif_header(b: bytes) -> tuple[int, int] | None:
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    if w == 0 or h == 0:
+        return None
+    return w, h
+
+
+# -- BMP (real pixel decode for uncompressed 24/32-bit) ---------------------
+
+
+def parse_bmp(b: bytes):
+    """(width, height, grayscale_rows | None). Pixels decode only for
+    BI_RGB 24/32-bit BITMAPINFOHEADER files; other BMP variants return
+    dimensions with ``None`` pixels."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40 or len(b) < 14 + hdr_size:
+        return None
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    h = abs(h_raw)
+    if w <= 0 or h == 0 or planes != 1 or w > 1 << 16 or h > 1 << 16:
+        return None
+    if compression != 0 or bpp not in (24, 32):
+        return w, h, None
+    row_stride = ((w * bpp // 8) + 3) & ~3
+    need = data_off + row_stride * h
+    if data_off < 54 or len(b) < need:
+        return w, h, None
+    px_bytes = bpp // 8
+    rows = []
+    for r in range(h):
+        # BMP rows are stored bottom-up unless height is negative
+        src_r = (h - 1 - r) if h_raw > 0 else r
+        off = data_off + src_r * row_stride
+        row = []
+        for c in range(w):
+            o = off + c * px_bytes
+            bl, g, rd = b[o], b[o + 1], b[o + 2]
+            row.append((rd * 299 + g * 587 + bl * 114) // 1000)
+        rows.append(row)
+    return w, h, rows
+
+
+def ahash64(rows: list[list[int]]) -> int:
+    """Classic 8×8 average hash over a grayscale image: downsample by
+    block means, threshold at the global mean → 64-bit fingerprint."""
+    h = len(rows)
+    w = len(rows[0])
+    cells = []
+    for by in range(8):
+        y0, y1 = by * h // 8, max(by * h // 8 + 1, (by + 1) * h // 8)
+        for bx in range(8):
+            x0, x1 = bx * w // 8, max(bx * w // 8 + 1, (bx + 1) * w // 8)
+            tot = cnt = 0
+            for y in range(y0, y1):
+                row = rows[y]
+                for x in range(x0, x1):
+                    tot += row[x]
+                    cnt += 1
+            cells.append(tot / cnt)
+    mean = sum(cells) / 64.0
+    out = 0
+    for i, v in enumerate(cells):
+        if v > mean:
+            out |= 1 << i
+    # wrap into signed int64 (the schema's LongType; bit 63 is data)
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+# -- WAV --------------------------------------------------------------------
+
+
+def parse_wav(b: bytes):
+    """(sample_rate, n_channels, n_frames) via stdlib ``wave``."""
+    import io
+    import wave
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            return wf.getframerate(), wf.getnchannels(), wf.getnframes()
+    except Exception:
+        return None
+
+
+# -- dispatcher -------------------------------------------------------------
+
+
+def sniff_decode(payload: bytes, media_ref: str, kind: str) -> dict | None:
+    """Real decode when the payload is a format stdlib can handle;
+    ``None`` → caller falls back to the stub. Strict magic checks keep
+    random synthetic payloads on the stub path."""
+    if payload is None:
+        return None
+    bmp = parse_bmp(payload)
+    if bmp is not None:
+        w, h, rows = bmp
+        return {
+            "width": int(w), "height": int(h),
+            "phash": ahash64(rows) if rows else _polyhash(payload[:4096]),
+            "decoder": "bmp" if rows else "bmp-header",
+        }
+    for name, parser in (("png-header", parse_png_header),
+                         ("jpeg-header", parse_jpeg_sof),
+                         ("gif-header", parse_gif_header)):
+        dims = parser(payload)
+        if dims is not None:
+            return {
+                "width": int(dims[0]), "height": int(dims[1]),
+                "phash": _polyhash(payload[:4096]),
+                "decoder": name,
+            }
+    wav = parse_wav(payload)
+    if wav is not None:
+        rate, channels, n_frames = wav
+        return {
+            "width": int(rate), "height": int(channels),
+            "phash": _polyhash(payload[44:44 + 4096]),
+            "decoder": "wav",
+        }
+    return None

@@ -7,13 +7,17 @@ execution shape as the PDF extractor (plans/pipeline.py), so the 100 TB
 properties carry over: narrow map, fine-grained scan splits for oversized
 payloads, per-batch memory bounded by ``arrow.maxRecordsPerBatch``.
 
-The actual pixel/sample decoders (PIL / libav) are NOT in this sandbox, so
-``_decode_stub`` produces a deterministic pseudo-decode from the payload
-bytes and media_ref — clearly marked, swapped for real decoders via
-``register_decoder``. The Spark-side plumbing (schema, batching, UDF
-signature, partitioning) is real and tested; the stub is also expressible
-in SQL, which gives the rare chance to oracle-check a pandas-UDF path
-end-to-end against DuckDB (queries.py multimodal_features).
+Decoding is tiered. Formats stdlib can handle decode for REAL
+(functions/mediacodec.py): BMP pixel decode with an 8×8 average-hash,
+PNG/JPEG/GIF header dimensions, and WAV audio via ``wave``. Compressed
+pixel formats (the PIL / libav tier, absent in this sandbox) fall back
+to ``_decode_stub`` — a deterministic pseudo-decode, clearly marked,
+swapped for full decoders via ``register_decoder``. The Spark-side
+plumbing (schema, batching, UDF signature, partitioning) is identical
+for every tier; the stub is also expressible in SQL, which gives the
+rare chance to oracle-check a pandas-UDF path end-to-end against DuckDB
+(queries.py multimodal_features — synthetic payloads carry no media
+magic, so they stay on the stub path by construction).
 
 Reference parity note: the reference DROPS images at the poppler level
 (``-i`` flag, PDFToHtml.java:52 — issue #56); our engine instead carries
@@ -87,11 +91,26 @@ def _decode_stub(payload: bytes, media_ref: str, kind: str) -> dict:
     }
 
 
+def _default_decode(payload: bytes, media_ref: str, kind: str) -> dict:
+    """Default decoder chain: REAL stdlib decode when the payload is a
+    format that needs no external libs (BMP pixels + aHash; PNG/JPEG/GIF
+    header dimensions; WAV via ``wave`` — functions/mediacodec.py),
+    otherwise the deterministic stub. Strict magic sniffing keeps
+    synthetic test payloads on the stub path, so the SQL oracle is
+    unaffected."""
+    from ..functions.mediacodec import sniff_decode
+
+    real = sniff_decode(payload, media_ref, kind)
+    if real is not None:
+        return {"n_bytes": len(payload), **real}
+    return _decode_stub(payload, media_ref, kind)
+
+
 _DECODERS: dict[str, Callable[[bytes, str, str], dict]] = {}
 
 
 def register_decoder(kind: str, fn: Callable[[bytes, str, str], dict]) -> None:
-    """Swap in a real decoder (e.g. PIL) for a media kind."""
+    """Swap in a full decoder (e.g. PIL) for a media kind."""
     _DECODERS[kind] = fn
 
 
@@ -104,7 +123,7 @@ def _decode_batches(
         for doc_id, ref, kind, payload in zip(
             b["doc_id"], b["media_ref"], b["media_kind"], b["payload"]
         ):
-            fn = decoders.get(kind, _decode_stub)
+            fn = decoders.get(kind, _default_decode)
             payload = bytes(payload) if payload is not None else b""
             feat = fn(payload, str(ref), str(kind))
             out.append({"doc_id": doc_id, "media_ref": ref,
@@ -204,7 +223,7 @@ def _resize_batches(batches: Iterator[pd.DataFrame], decoders: dict,
             b["doc_id"], b["media_ref"], b["media_kind"], b["payload"]
         ):
             payload = bytes(payload) if payload is not None else b""
-            feat = decoders.get(kind, _decode_stub)(payload, str(ref), str(kind))
+            feat = decoders.get(kind, _default_decode)(payload, str(ref), str(kind))
             w, h = int(feat["width"]), int(feat["height"])
             m = max(w, h)
             if m > max_dim:

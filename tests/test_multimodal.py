@@ -113,3 +113,99 @@ def test_video_frame_sample_fanout(spark):
         idxs = sorted(f["frame_idx"] for f in fs)
         assert idxs == list(range(len(fs)))  # dense, 0-based
         assert all(f["frame_ref"] == f"{ref}#f{f['frame_idx']}" for f in fs)
+
+
+class TestStdlibDecoders:
+    """Real stdlib decode paths (functions/mediacodec): BMP pixels +
+    aHash, PNG/JPEG/GIF header dims, WAV audio — no PIL/libav needed."""
+
+    @staticmethod
+    def _bmp(w=8, h=8, value=None):
+        import struct
+
+        stride = ((w * 3) + 3) & ~3
+        px = bytearray()
+        for r in range(h):
+            row = bytearray()
+            for c in range(w):
+                v = value if value is not None else (
+                    255 if (r < h // 2) else 0)
+                row += bytes([v, v, v])
+            row += b"\x00" * (stride - len(row))
+            px += row
+        data_off = 54
+        size = data_off + len(px)
+        hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             len(px), 2835, 2835, 0, 0))
+        return bytes(hdr + px)
+
+    @staticmethod
+    def _wav(rate=16000, channels=2, n=100):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(bytes(2 * channels * n))
+        return buf.getvalue()
+
+    def test_bmp_real_pixels_and_ahash(self):
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        d = sniff_decode(self._bmp(16, 8), "m", "image")
+        assert (d["width"], d["height"], d["decoder"]) == (16, 8, "bmp")
+        # top half bright, bottom dark → aHash = top 32 bits set pattern,
+        # and constant images hash to 0 (no cell above the mean)
+        flat = sniff_decode(self._bmp(8, 8, value=128), "m", "image")
+        assert flat["phash"] == 0
+        assert d["phash"] != 0
+
+    def test_png_jpeg_gif_headers(self):
+        import struct
+
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0))
+        assert sniff_decode(png, "m", "image")["width"] == 640
+        jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+                + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", 300, 200) + b"\x03" + b"\x00" * 2)
+        j = sniff_decode(jpeg, "m", "image")
+        assert (j["width"], j["height"]) == (200, 300)
+        assert j["decoder"] == "jpeg-header"
+        gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00" * 3
+        assert sniff_decode(gif, "m", "image")["height"] == 240
+
+    def test_wav_audio(self):
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        d = sniff_decode(self._wav(44100, 1, 64), "m", "audio")
+        assert (d["width"], d["height"], d["decoder"]) == (44100, 1, "wav")
+
+    def test_random_payload_falls_back_to_stub(self):
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        assert sniff_decode(bytes(range(256)) * 8, "m", "image") is None
+
+    def test_pipeline_uses_real_decoder(self, spark):
+        """End-to-end: a BMP payload rides the media frame and comes out
+        with real dimensions, not the stub's."""
+        from pdf_extract_spark.operators.multimodal import media_features
+
+        df = spark.createDataFrame(
+            [("d1", "img://a", "image", bytearray(self._bmp(16, 8))),
+             ("d2", "aud://b", "audio", bytearray(self._wav(8000, 2, 10))),
+             ("d3", "img://c", "image", bytearray(b"\x01\x02notaformat"))],
+            "doc_id string, media_ref string, media_kind string, payload binary",
+        )
+        rows = {r.doc_id: r for r in media_features(df).collect()}
+        assert rows["d1"].decoder == "bmp"
+        assert (rows["d1"].width, rows["d1"].height) == (16, 8)
+        assert rows["d2"].decoder == "wav"
+        assert rows["d2"].width == 8000
+        assert rows["d3"].decoder == "stub:image"
