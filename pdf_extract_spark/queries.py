@@ -181,6 +181,48 @@ LANG_MODE_DIST_SQL = """
 """
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets breadth (absent in the reference, SURVEY.md §2.9):
+    rollup over (region, nation) with exact-cents revenue and explicit
+    grouping-level flags — subtotal rows coalesce to 'ALL' so the
+    cross-engine hash is null-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+    joined = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_items"), F.sum(cents).alias("revenue_cents"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_items", "revenue_cents",
+        )
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+    select coalesce(r_name, 'ALL') as region,
+           coalesce(n_name, 'ALL') as nation,
+           cast(count(*) as bigint) as n_items,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                         as bigint)) as bigint) as revenue_cents
+    from lineitem
+    join supplier on l_suppkey = s_suppkey
+    join nation on s_nationkey = n_nationkey
+    join region on n_regionkey = r_regionkey
+    group by rollup(r_name, n_name)
+"""
+
+
 def boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: frequency boilerplate — tokens present in ≥30% of documents
     (the SQL-checkable form of the per-doc repeated-line strip in
@@ -451,6 +493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window": session_window,
     "run_length": run_length,
     "topk_revenue": topk_revenue,
+    "rollup_revenue": rollup_revenue,
     "distinct_agg": distinct_agg,
     "dedup_exact": dedup.exact_duplicates,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -487,6 +530,7 @@ ORACLES: dict[str, str] = {
     "session_window": SESSION_WINDOW_SQL,
     "run_length": RUN_LENGTH_SQL,
     "topk_revenue": TOPK_REVENUE_SQL,
+    "rollup_revenue": ROLLUP_REVENUE_SQL,
     "distinct_agg": DISTINCT_AGG_SQL,
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle(),
