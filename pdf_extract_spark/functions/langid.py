@@ -110,9 +110,13 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "üzerine kendi olduğu".split()
     ),
     "fi": frozenset(
+        # agglutinative: few free-standing function words per sentence,
+        # so the list carries more common adverbs/quantifiers than the
+        # other languages to keep natural-sentence hit density ≥ 1/12
         "ja on ei se että oli hän mutta ovat kun myös niin jos tai sen "
         "joka ole kuin mukaan vuonna jo vain sitä tämä hänen olla voi "
-        "kanssa sekä jotka".split()
+        "kanssa sekä jotka koko kaikki jälkeen ennen paljon hyvin noin "
+        "sitten eilen tänään".split()
     ),
     "et": frozenset(
         "ja on et ei ka see oli kui aga oma mis seda nagu välja üle kõik "

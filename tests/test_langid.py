@@ -195,3 +195,30 @@ def test_mixed_language_doc_majority(spark):
     for l in langs:
         counts[l] = counts.get(l, 0) + 1
     assert max(counts.items(), key=lambda kv: kv[1])[0] == "en"
+
+
+def test_natural_sentences():
+    """Detection on NATURAL sentences (not stopword-dense synthetics) —
+    the accuracy shape a real multilingual corpus exercises."""
+    from pdf_extract_spark.functions.langid import detect
+
+    cases = {
+        "en": "The committee approved the proposal after a long discussion yesterday evening",
+        "es": "El gobierno anunció nuevas medidas económicas para apoyar a las familias del país",
+        "fr": "Le gouvernement a annoncé de nouvelles mesures pour soutenir les familles du pays",
+        "de": "Die Regierung hat gestern neue Maßnahmen zur Unterstützung der Familien angekündigt",
+        "it": "Il governo ha annunciato nuove misure per sostenere le famiglie del paese",
+        "pt": "O governo anunciou novas medidas para apoiar as famílias do país inteiro",
+        "nl": "De regering heeft gisteren nieuwe maatregelen aangekondigd om gezinnen te steunen",
+        "pl": "Rząd ogłosił wczoraj nowe środki wsparcia dla rodzin w całym kraju",
+        "sv": "Regeringen meddelade igår nya åtgärder för att stödja familjer i hela landet",
+        "ro": "Guvernul a anunțat ieri noi măsuri pentru a sprijini familiile din întreaga țară",
+        "tr": "Hükümet dün ailelere destek olmak için yeni önlemler açıkladı ve daha fazla",
+        "cs": "Vláda včera oznámila nová opatření na podporu rodin v celé zemi",
+        "fi": "Hallitus ilmoitti eilen uusista toimista perheiden tukemiseksi koko maassa",
+        "hu": "A kormány tegnap új intézkedéseket jelentett be a családok támogatására az egész országban",
+        "id": "Pemerintah kemarin mengumumkan langkah baru untuk mendukung keluarga di seluruh negeri",
+        "vi": "Chính phủ đã công bố các biện pháp mới để hỗ trợ các gia đình trên cả nước",
+    }
+    for lang, s in cases.items():
+        assert detect(s) == lang, (lang, detect(s))
