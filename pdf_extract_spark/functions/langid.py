@@ -210,10 +210,14 @@ for _lang, _sw in _CYR_STOPWORDS.items():
     for _w in _sw:
         _CYR_WORD2LANGS[_w] = _CYR_WORD2LANGS.get(_w, ()) + (_lang,)
 
-# Arabic-script sub-classification by distinctive letters
+# Arabic-script sub-classification by distinctive letters. Order
+# matters: Urdu first (yeh barree / heh goal / retroflexes are
+# Urdu-only), then Persian — which besides پ چ ژ گ uses KEHEH (U+06A9)
+# and FARSI YEH (U+06CC) where Arabic text uses ك (U+0643) / ي (U+064A);
+# Urdu shares keheh/farsi-yeh, hence the ordering.
 _ARAB_DISTINCT = [
     ("ur", re.compile(r"[ٹڑےہں]")),
-    ("fa", re.compile(r"[پچژگ]")),
+    ("fa", re.compile(r"[پچژگکی]")),
 ]
 
 # scripts that decide (or route) without Latin stopwords
@@ -273,10 +277,20 @@ def _vote(words: list[str], index: dict[str, tuple[str, ...]],
     return best[0], best[1]
 
 
+_RU_EXCLUSIVE_RE = re.compile(r"[ыэё]")  # absent from bg/uk/sr
+_BG_VOWEL_HARDSIGN_RE = re.compile(r"[а-я]ъ[а-я]")  # ъ as a vowel = bg
+
+
 def _cyrillic_lang(sample: str, words: list[str]) -> str:
     for code, pat in _CYR_DISTINCT:
         if len(pat.findall(sample)) >= 2:
             return code
+    low = sample.lower()
+    # Bulgarian uses ъ as a VOWEL (interior position, ~2% of letters);
+    # Russian's ъ is a rare separator and its ы/э/ё never occur in bg
+    if (_RU_EXCLUSIVE_RE.search(low) is None
+            and _BG_VOWEL_HARDSIGN_RE.search(low) is not None):
+        return "bg"
     lang, hits = _vote(words, _CYR_WORD2LANGS, _CYR_PRIO)
     if lang is not None and hits * 12 >= len(words):
         return lang

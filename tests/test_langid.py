@@ -222,3 +222,21 @@ def test_natural_sentences():
     }
     for lang, s in cases.items():
         assert detect(s) == lang, (lang, detect(s))
+
+
+def test_natural_sentences_cyrillic_arabic():
+    """Natural sentences through the script sub-votes: Persian keheh /
+    farsi-yeh vs Arabic kaf/yeh; Bulgarian vowel-ъ vs Russian ы/э/ё."""
+    from pdf_extract_spark.functions.langid import detect
+
+    cases = {
+        "ru": "Правительство вчера объявило о новых мерах поддержки семей по всей стране",
+        "uk": "Уряд учора оголосив про нові заходи підтримки сімей по всій країні",
+        "bg": "Държавата обяви нови мерки за подкрепа на семействата в цялата страна",
+        "sr": "Влада је јуче објавила нове мере подршке породицама широм земље",
+        "ar": "أعلنت الحكومة أمس عن تدابير جديدة لدعم الأسر في جميع أنحاء البلاد",
+        "fa": "دولت دیروز تدابیر جدیدی برای حمایت از خانواده‌ها در سراسر کشور اعلام کرد",
+        "ur": "حکومت نے کل ملک بھر میں خاندانوں کی مدد کے لیے نئے اقدامات کا اعلان کیا",
+    }
+    for lang, s in cases.items():
+        assert detect(s) == lang, (lang, detect(s))
