@@ -79,7 +79,7 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     "no": frozenset(
         "og i at det er en til av på de med den for som har ikke et var "
         "han men seg fra vi så kan man når også eller sin etter ved skal "
-        "ble blir hvor være om noe denne".split()
+        "ble blir hvor være om noe denne å mellom blant alltid ofte".split()
     ),
     "ro": frozenset(
         "de la a în și cu pentru pe este care nu mai se din sau ca fi fost "
@@ -94,15 +94,17 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     "sk": frozenset(
         "a sa na v je že o s z do k i ale po ako za byť bol sú bolo tak "
         "jeho jej pri pred tejto ktorý ktorá ktoré však pre od alebo "
-        "podľa už môže aj keď".split()
+        "podľa už môže aj keď včera dnes iba tiež každý celej ktorej".split()
     ),
     "sl": frozenset(
         "je in na za se da so z v ki pa po tudi kot če še lahko med bi ni "
-        "bilo bil so bila iz pri do njegov njen ta to te ter".split()
+        "bilo bil so bila iz pri do njegov njen ta to te ter včeraj "
+        "danes zelo vseh vsej preko".split()
     ),
     "hr": frozenset(
         "je i u na se da za su s od kao što ali iz ili bi biti će samo "
-        "kada nije ima vrlo te koji koja koje sve više jedan godine".split()
+        "kada nije ima vrlo te koji koja koje sve više jedan godine "
+        "jučer danas diljem nakon prije između također".split()
     ),
     "tr": frozenset(
         "ve bir bu da de için ile olarak daha gibi çok en ne kadar sonra "
@@ -120,7 +122,8 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "et": frozenset(
         "ja on et ei ka see oli kui aga oma mis seda nagu välja üle kõik "
-        "siis ning sest selle olid oleks veel juba ainult pärast vastu".split()
+        "siis ning sest selle olid oleks veel juba ainult pärast vastu "
+        "eile täna kogu uus rohkem kõige".split()
     ),
     "hu": frozenset(
         "a az és hogy nem is egy meg volt ha de el ki mint még csak már "
@@ -129,11 +132,13 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "lt": frozenset(
         "ir yra kad į su tai iš bet kaip buvo už taip pat apie po metų "
-        "jau gali dar tik jis ji jo jos labai visi kurie prie nuo".split()
+        "jau gali dar tik jis ji jo jos labai visi kurie prie nuo vakar "
+        "šiandien visoje naujas prieš tarp savo daugiau".split()
     ),
     "lv": frozenset(
         "un ir ka par ar no uz to kā arī bet tika var šī tas vai pēc gada "
-        "savu viņš viņa tie šis esot bija būt ļoti visi kuri pie".split()
+        "savu viņš viņa tie šis esot bija būt ļoti visi kuri pie vakar "
+        "šodien visā jauns starp pret vēl tikai".split()
     ),
     "id": frozenset(
         "yang dan di dengan untuk tidak dari dalam akan pada juga ini itu "
@@ -154,7 +159,8 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "eu": frozenset(
         "eta da ez du zen dira izan ere baina hau horrek bere egin behar "
-        "dela baita edo zer nola non gure haien arte oso batean".split()
+        "dela baita edo zer nola non gure haien arte oso batean atzo "
+        "gaur zituen dute duten berri berriak artean".split()
     ),
     "af": frozenset(
         "die van het in is nie dat om ek sy was hy met vir op aan wat ons "
@@ -162,7 +168,8 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "sw": frozenset(
         "na ya wa kwa ni za katika la kuwa hii ili kama pia kwamba yake "
-        "hiyo watu hata baada wakati sasa lakini ambayo wake kila".split()
+        "hiyo watu hata baada wakati sasa lakini ambayo wake kila jana "
+        "leo kote mpya sana".split()
     ),
     "tl": frozenset(
         "ang ng sa na mga ay at ito para hindi siya ako kanyang niya ko "
@@ -326,8 +333,27 @@ def detect(text: str) -> str | None:
         return None
     best_lang, best_hits = _vote(words, _WORD2LANGS, _LANG_PRIO)
     if best_lang is not None and best_hits * 12 >= len(words):  # ≥1/12 density
-        return best_lang
+        return _refine_latin(best_lang, sample.lower())
     return None
+
+
+# orthography refinements for near-identical stopword pairs: the vote
+# winner is corrected by letters EXCLUSIVE to one side of the pair
+# (Czech ř/ů vs Slovak ľ/ô/ä/ŕ; Danish has no å-as-word/infinitive
+# marker where Norwegian does, and writes "af" where Norwegian "av")
+_LATIN_REFINE: list[tuple[frozenset, "re.Pattern[str]", str]] = [
+    (frozenset(("cs", "sk")), re.compile(r"[ľôäŕĺ]"), "sk"),
+    (frozenset(("cs", "sk")), re.compile(r"[řů]"), "cs"),
+    (frozenset(("da", "no")), re.compile(r"\bå\b|\bav\b|\bikkje\b"), "no"),
+    (frozenset(("da", "no")), re.compile(r"\baf\b|\bøjeblik"), "da"),
+]
+
+
+def _refine_latin(lang: str, low: str) -> str:
+    for pair, pat, override in _LATIN_REFINE:
+        if lang in pair and pat.search(low) is not None:
+            return override
+    return lang
 
 
 def detect_reliable(text: str) -> str | None:

@@ -240,3 +240,29 @@ def test_natural_sentences_cyrillic_arabic():
     }
     for lang, s in cases.items():
         assert detect(s) == lang, (lang, detect(s))
+
+
+def test_natural_sentences_second_tier():
+    """Natural sentences for the harder second-tier Latin languages
+    (near-identical stopword pairs disambiguated by orthography
+    refinements and language-specific adverbs)."""
+    from pdf_extract_spark.functions.langid import detect
+
+    cases = {
+        "da": "Regeringen meddelte i går nye tiltag for at støtte familier i hele landet",
+        "no": "Regjeringen kunngjorde i går nye tiltak for å støtte familier over hele landet",
+        "hr": "Vlada je jučer objavila nove mjere potpore obiteljima diljem zemlje",
+        "sk": "Vláda včera oznámila nové opatrenia na podporu rodín v celej krajine",
+        "sl": "Vlada je včeraj objavila nove ukrepe za podporo družinam po vsej državi",
+        "lt": "Vyriausybė vakar paskelbė naujas priemones šeimoms remti visoje šalyje",
+        "lv": "Valdība vakar paziņoja par jauniem pasākumiem ģimeņu atbalstam visā valstī",
+        "et": "Valitsus teatas eile uutest meetmetest perede toetamiseks kogu riigis",
+        "ca": "El govern va anunciar ahir noves mesures per donar suport a les famílies del país",
+        "sq": "Qeveria njoftoi dje masa të reja për të mbështetur familjet në të gjithë vendin",
+        "af": "Die regering het gister nuwe maatreëls aangekondig om gesinne regoor die land te ondersteun",
+        "sw": "Serikali ilitangaza jana hatua mpya za kusaidia familia kote nchini",
+        "eu": "Gobernuak atzo neurri berriak iragarri zituen herrialde osoko familiei laguntzeko",
+        "tl": "Inanunsyo ng pamahalaan kahapon ang mga bagong hakbang upang suportahan ang mga pamilya",
+    }
+    for lang, s in cases.items():
+        assert detect(s) == lang, (lang, detect(s))
