@@ -13,6 +13,7 @@ Grouping (SURVEY.md §2 ids in parens):
     session_window       (W2)     gap-based segmentation via lag + cumsum
     run_length           (W1)     consecutive-run merge via change-flag
     topk_revenue         (sorts)  deterministic top-k with rank window
+    rollup_revenue                grouping-sets rollup, exact cents
     distinct_agg                  count-distinct aggregate
 
   training-data pipeline (operators/dedup.py, similarity.py,
