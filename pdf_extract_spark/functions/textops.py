@@ -412,6 +412,16 @@ _ARR_ELEM = re.compile(
 )
 
 
+def _name_str(raw: bytes) -> str:
+    """Content-stream name token → str, decoding #XX escapes (PDF §7.3.5)
+    so lookups match the resource-dict side, which already decodes them."""
+    if b"#" in raw:
+        from ..sources.pdfparse import _NAME_ESC_RE
+
+        raw = _NAME_ESC_RE.sub(lambda mm: bytes([int(mm.group(1), 16)]), raw)
+    return raw.decode("latin-1")
+
+
 def _parse_content_array(data: bytes, pos: int):
     """Batch-parse a content-stream array (the TJ hot path: ~90% of all
     tokens in kerning-heavy documents are numbers/strings inside TJ
@@ -442,7 +452,7 @@ def _parse_content_array(data: bytes, pos: int):
         elif gi == 4:
             return out, m.end()
         else:
-            out.append(m.group(5).decode("latin-1"))
+            out.append(_name_str(m.group(5)))
             pos = m.end()
     return out, pos
 
@@ -479,7 +489,7 @@ def tokenize_content(data: bytes, keep_ops: frozenset | None = None):
             yield ("nums", [float(x) for x in run.split()])
             pos = m.end()
         elif gi == 1:
-            yield ("name", m.group(1).decode("latin-1"))
+            yield ("name", _name_str(m.group(1)))
             pos = m.end()
         elif gi == 3:
             tok = m.group(3)
@@ -757,9 +767,9 @@ def _run_stream(
             if budget > MAX_OPS_PER_PAGE:
                 break
             if arr_stack:
-                arr_stack[-1].append(mt.group(1).decode("latin-1"))
+                arr_stack[-1].append(_name_str(mt.group(1)))
             else:
-                stack.append(mt.group(1).decode("latin-1"))
+                stack.append(_name_str(mt.group(1)))
             pos = mt.end()
             continue
         elif gi == 3:  # structural

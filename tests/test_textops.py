@@ -156,3 +156,36 @@ class TestMatrices:
             dx, dy = mat_apply(ctm, x, y)
             assert -1 <= dx <= w + 1
             assert -1 <= dy <= h + 1
+
+
+def test_content_stream_name_hash_escapes():
+    """#XX escapes in content-stream names decode so font lookups match
+    the resource-dict side (which already decodes them): /F#31 == /F1."""
+    from pdf_extract_spark.operators.extract import extract_pdf
+
+    parts = ["BT", "/F#31 12 Tf", "72 700 Td", "(Escaped font name) Tj", "ET"]
+    stream = "\n".join(parts).encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >>"
+        b" /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /Name /F1 /BaseFont /Helvetica >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, body in enumerate(objs, start=1):
+        offs.append(len(buf))
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(buf)
+    buf += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offs:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\n"
+            f"startxref\n{xref}\n%%EOF\n").encode()
+
+    res = extract_pdf(bytes(buf))
+    assert res.error is None
+    assert [t for k, t, _, _ in res.spans if k == "text"] == ["Escaped font name"]
