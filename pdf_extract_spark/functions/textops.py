@@ -400,6 +400,21 @@ _CS_TOKEN = re.compile(
 
 _EI_RE = re.compile(rb"(?:\s|^)EI(?=\s|$)")
 
+# Drawing-run skip: after any unhandled operator, consume an entire run
+# of path/stroke content — (numbers… safe-op)+ — in ONE match instead
+# of one match per token. CRITICAL invariant: every repetition ends
+# with an operator the interpreter ignores, so numbers that precede a
+# HANDLED op (cm/Tm/rg/…) are never swallowed — a repetition that ends
+# at such an op fails its final alternation and is not consumed.
+# The safe set is the path/stroke/clip/linestyle ops (operand-typed
+# names/arrays break the run at '/'/'[' before ever reaching it).
+_DRAW_RUN = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]*+"
+    rb"(?:[+-]?+(?:\d*+\.\d++|\d++\.?+)[\x00\t\n\x0c\r ]++)*+"
+    rb"(?:f\*|W\*|B\*|b\*|re|gs|cs|m|l|c|v|y|h|n|f|S|s|w|j|J|M|d|i)"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$))++"
+)
+
 # array-element scanner for the TJ fast path: numbers, strings, hex
 # strings, names, and the closing bracket in one anchored pattern
 _ARR_ELEM = re.compile(
@@ -756,8 +771,13 @@ def _run_stream(
             if raw_op not in _HANDLED_OPS_BYTES:
                 # path/clipping/shading/marked-content ops: one set
                 # probe (drawing-heavy pages: ~25× more path ops than
-                # text ops); operands stay until cleared here
+                # text ops); operands stay until cleared here. Then
+                # swallow any following drawing run in one match —
+                # path data dominates token counts on drawing pages.
                 stack.clear()
+                mr = _DRAW_RUN.match(data, pos)
+                if mr is not None:
+                    pos = mr.end()
                 continue
             budget += 1
             if budget > MAX_OPS_PER_PAGE:

@@ -189,3 +189,51 @@ def test_content_stream_name_hash_escapes():
     res = extract_pdf(bytes(buf))
     assert res.error is None
     assert [t for k, t, _, _ in res.spans if k == "text"] == ["Escaped font name"]
+
+
+def test_draw_run_skip_preserves_handled_operands():
+    """The drawing-run fast skip must NOT swallow numbers that belong
+    to a following HANDLED op: here a path run precedes cm (translation)
+    and rg (fill color) — both must still take effect."""
+    from pdf_extract_spark.functions.textops import interpret_page
+    from pdf_extract_spark.sources.pdfparse import PDFDocument
+
+    content = (
+        b"0.5 w 10 10 m 20 20 l 30 10 40 0 50 10 c S "  # drawing run
+        b"1 0 0 1 100 50 cm "                            # handled: cm
+        b"0 0 1 rg "                                     # handled: rg
+        b"BT /F1 12 Tf 10 700 Td (Hello) Tj ET"
+    )
+    doc = PDFDocument.__new__(PDFDocument)
+    doc.objects = {}
+    doc.trailer = {}
+    doc.crypt = None
+    res = {"Font": {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica"}}}
+    runs, medias = interpret_page(
+        doc, 1, content, res, (0, 0, 612, 792), 0, {}
+    )
+    assert len(runs) == 1
+    r = runs[0]
+    assert r.text == "Hello"
+    # cm translation applied: x = 10 + 100 (cm) in device space
+    assert abs(r.left - 110.0) < 0.5
+    assert r.color == "#0000ff"  # rg applied after the drawing run
+
+
+def test_draw_run_skip_stops_at_names_and_arrays():
+    """Operand-typed unhandled ops (gs with a name, d with an array)
+    break the drawing run at their delimiters and stay inert."""
+    from pdf_extract_spark.functions.textops import interpret_page
+    from pdf_extract_spark.sources.pdfparse import PDFDocument
+
+    content = (
+        b"/GS0 gs [3 1] 0 d 5 5 m 9 9 l S "
+        b"BT /F1 10 Tf 0 0 Td (X) Tj ET"
+    )
+    doc = PDFDocument.__new__(PDFDocument)
+    doc.objects = {}
+    doc.trailer = {}
+    doc.crypt = None
+    res = {"Font": {"F1": {"Subtype": "Type1", "BaseFont": "Helvetica"}}}
+    runs, _ = interpret_page(doc, 1, content, res, (0, 0, 612, 792), 0, {})
+    assert [r.text for r in runs] == ["X"]
