@@ -678,7 +678,10 @@ def _run_stream(
         x1, y1 = mat_apply(M, disp if scale else 0.0, ts)
         text = "".join(text_parts)
         # advance Tm by the total displacement
-        tm = mat_mul((1.0, 0.0, 0.0, 1.0, disp, 0.0), tm)
+        # translation-only advance: T(disp)·tm expands to shifting the
+        # origin along tm's x basis — no general multiply needed
+        tm = (tm[0], tm[1], tm[2], tm[3],
+              disp * tm[0] + tm[4], disp * tm[1] + tm[5])
         if not text:
             return
         width = math.hypot(x1 - x0, y1 - y0)
