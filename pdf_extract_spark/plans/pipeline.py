@@ -535,7 +535,8 @@ def run_pipeline(
     """spark-submit entry: read → (resume anti-join) → extract → commit.
 
     ``input_format="pdf-dir"`` reads a directory of raw PDF files (the
-    reference's -I/-B modes) instead of an interleaved table.
+    reference's -I/-B modes); ``"warc"`` reads web-archive files,
+    one pdf span per matching HTTP response (sources/warc.py).
     ``dedup_mirrors=True`` extracts each distinct payload once (see
     extract_spans_mirror_dedup). Returns a summary dict (docs in/out,
     run_id)."""
@@ -547,6 +548,10 @@ def run_pipeline(
         from ..sources.corpus import read_pdf_dir
 
         df = read_pdf_dir(spark, input_ref)
+    elif input_format == "warc":
+        from ..sources.warc import read_warc
+
+        df = read_warc(spark, input_ref)
     else:
         df = io.read(input_ref)
     if resume and io.exists(output_ref):

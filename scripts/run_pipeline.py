@@ -62,11 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-mirrors", action="store_true",
                     help="extract each distinct payload once and join "
                          "results back (mirror-heavy corpora)")
-    ap.add_argument("--input-format", choices=["table", "pdf-dir"],
+    ap.add_argument("--input-format", choices=["table", "pdf-dir", "warc"],
                     default="table",
                     help="'pdf-dir' reads a directory of raw .pdf files "
-                         "(the reference's -I/-B modes) instead of an "
-                         "interleaved table")
+                         "(the reference's -I/-B modes); 'warc' reads "
+                         "web-archive files (Common Crawl layout)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
