@@ -271,6 +271,38 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
             out_spans.extend(
                 {"kind": k, "text": t, "media_ref": m} for k, t, m, _ in res.spans
             )
+        elif kind == "html":
+            # north-rule HTML tier: DOM-heuristic boilerplate strip →
+            # ordered text/media spans (functions/htmlextract.py)
+            from ..functions import langid
+            from ..functions.htmlextract import extract_main_spans
+            from ..operators.layout import _collapse_ws
+
+            counts: dict[str, int] = {}
+            for k2, t2, m2 in extract_main_spans(span["text"] or ""):
+                if k2 == "media":
+                    out_spans.append(
+                        {"kind": "media", "text": "", "media_ref": m2})
+                    n_media += 1
+                    continue
+                txt = rules.repair_str(
+                    rules.normalize_str(_collapse_ws(t2)))
+                if not txt.strip():
+                    continue
+                out_spans.append(
+                    {"kind": "text", "text": txt.strip(), "media_ref": ""})
+                n_lines += 1
+                ln = langid.detect_reliable(txt)
+                if ln:
+                    counts[ln] = counts.get(ln, 0) + 1
+            if counts and not lang:
+                total = sum(counts.values())
+                ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                lang = ordered[0][0]
+                lang_dist = [
+                    {"lang": l, "percent": c * 100.0 / total, "rows": c}
+                    for l, c in ordered
+                ]
         elif kind == "text":
             from ..operators.layout import _collapse_ws
 

@@ -121,8 +121,18 @@ _SPAN_SCHEMA = StructType(
 )
 
 
+#: mime prefix → span kind; pdf payloads ride base64 in ``text``, html
+#: payloads ride decoded markup (the pipeline's html tier strips
+#: boilerplate via DOM heuristics, functions/htmlextract.py)
+DEFAULT_MIME_KINDS: dict[str, str] = {
+    "application/pdf": "pdf",
+    "text/html": "html",
+    "application/xhtml": "html",
+}
+
+
 def warc_docs(data: bytes, source_name: str,
-              mime_prefixes: tuple[str, ...]) -> list[dict]:
+              mime_kinds: dict[str, str]) -> list[dict]:
     """All matching-response documents of one WARC file."""
     docs: list[dict] = []
     for i, (headers, body) in enumerate(iter_warc_records(data)):
@@ -132,13 +142,28 @@ def warc_docs(data: bytes, source_name: str,
             _http_payload(body)
             if headers.get("warc-type") == "response" else ({}, body)
         )
-        mime = (
+        content_type = (
             http.get("content-type")
             or headers.get("warc-identified-payload-type")
             or headers.get("content-type", "")
-        ).split(";")[0].strip().lower()
-        if not any(mime.startswith(p) for p in mime_prefixes):
+        )
+        mime = content_type.split(";")[0].strip().lower()
+        kind = next(
+            (k for p, k in mime_kinds.items() if mime.startswith(p)), None
+        )
+        if kind is None:
             continue
+        if kind == "pdf":
+            text = base64.b64encode(payload).decode("ascii")
+        else:
+            cs = "utf-8"
+            m = re.search(r"charset=([\w.-]+)", content_type, re.I)
+            if m:
+                cs = m.group(1)
+            try:
+                text = payload.decode(cs, errors="replace")
+            except LookupError:
+                text = payload.decode("utf-8", errors="replace")
         doc_id = (
             headers.get("warc-record-id")
             or headers.get("warc-target-uri")
@@ -149,8 +174,8 @@ def warc_docs(data: bytes, source_name: str,
                 "doc_id": doc_id,
                 "spans": [
                     {
-                        "kind": "pdf",
-                        "text": base64.b64encode(payload).decode("ascii"),
+                        "kind": kind,
+                        "text": text,
                         "media_ref": headers.get("warc-target-uri", ""),
                         "offset": 0,
                     }
@@ -164,10 +189,12 @@ def read_warc(
     spark: SparkSession,
     path: str,
     pattern: str = "*.warc*",
-    mime_prefixes: tuple[str, ...] = ("application/pdf",),
+    mime_kinds: dict[str, str] | None = None,
 ) -> DataFrame:
     """Directory of WARC files → interleaved (doc_id, spans) table with
-    one pdf span per matching HTTP response record."""
+    one span per matching HTTP response record (pdf and html by
+    default — see DEFAULT_MIME_KINDS)."""
+    kinds = dict(DEFAULT_MIME_KINDS if mime_kinds is None else mime_kinds)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
@@ -180,9 +207,7 @@ def read_warc(
         for b in batches:
             rows: list[dict] = []
             for p, content in zip(b["path"], b["content"]):
-                rows.extend(
-                    warc_docs(bytes(content), str(p), mime_prefixes)
-                )
+                rows.extend(warc_docs(bytes(content), str(p), kinds))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=_SPAN_SCHEMA)

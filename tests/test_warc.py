@@ -59,7 +59,7 @@ def test_iter_warc_records_plain_and_gzip():
     gz = b"".join(gzip.compress(r) for r in _records())
     assert len(list(iter_warc_records(gz))) == 4
 
-    docs = warc_docs(raw, "t.warc", ("application/pdf",))
+    docs = warc_docs(raw, "t.warc", {"application/pdf": "pdf"})
     assert [d["doc_id"] for d in docs] == ["urn:uuid:0001", "urn:uuid:0004"]
     assert docs[0]["spans"][0]["media_ref"] == "http://a.example/one.pdf"
 
@@ -73,7 +73,8 @@ def test_read_warc_to_extraction(spark, tmp_path):
     (tmp_path / "b.warc.gz").write_bytes(
         b"".join(gzip.compress(r) for r in _records()[2:]))
 
-    df = read_warc(spark, str(tmp_path))
+    df = read_warc(spark, str(tmp_path),
+                   mime_kinds={"application/pdf": "pdf"})
     rows = {r.doc_id: r for r in extract_spans(df).collect()}
     assert set(rows) == {"urn:uuid:0001", "urn:uuid:0004"}
     assert all(r.error is None for r in rows.values())
@@ -81,3 +82,65 @@ def test_read_warc_to_extraction(spark, tmp_path):
         any(s["kind"] == "text" and s["text"] for s in r.spans)
         for r in rows.values()
     )
+
+
+_HTML_PAGE = b"""<html><head><title>A Title</title>
+<script>var x = "BOILER SCRIPT";</script></head>
+<body>
+<nav><a href="/">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></nav>
+<div class="sidebar"><p>Subscribe to our newsletter for more content!</p></div>
+<article>
+<h1>Main headline</h1>
+<p>This is the first paragraph of the main article content, long enough
+to clear the block threshold easily.</p>
+<img src="http://img.example/photo.jpg" alt="x"/>
+<p>The second paragraph also carries substantial readable content that a
+training pipeline wants to keep intact.</p>
+<p><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a></p>
+</article>
+<footer><p>Copyright 2024 Example Corp. All rights reserved worldwide.</p></footer>
+</body></html>"""
+
+
+def test_html_main_content_extraction():
+    from pdf_extract_spark.functions.htmlextract import (
+        extract_main_spans,
+        extract_title,
+    )
+
+    spans = extract_main_spans(_HTML_PAGE.decode())
+    texts = [t for k, t, _ in spans if k == "text"]
+    media = [m for k, _, m in spans if k == "media"]
+    assert texts[0] == "Main headline"
+    assert any("first paragraph" in t for t in texts)
+    assert any("second paragraph" in t for t in texts)
+    assert media == ["http://img.example/photo.jpg"]
+    joined = " ".join(texts)
+    assert "Home" not in joined          # nav dropped
+    assert "newsletter" not in joined    # sidebar-class div dropped
+    assert "Copyright" not in joined     # footer dropped
+    assert "BOILER SCRIPT" not in joined  # script dropped
+    assert "one two three" not in joined  # link-list paragraph dropped
+    assert extract_title(_HTML_PAGE.decode()) == "A Title"
+
+
+def test_warc_html_to_extraction_pipeline(spark, tmp_path):
+    """WARC with an HTML response → html span → DOM boilerplate strip →
+    ordered text/media spans with doc language."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+    from pdf_extract_spark.sources.warc import read_warc
+
+    rec = _warc_record("response", "http://a.example/article.html",
+                       _HTML_PAGE, "text/html; charset=utf-8",
+                       "urn:uuid:h001")
+    (tmp_path / "h.warc").write_bytes(rec)
+    df = read_warc(spark, str(tmp_path))
+    row = extract_spans(df).collect()[0]
+    assert row.error is None
+    kinds = [s["kind"] for s in row.spans]
+    assert "media" in kinds
+    texts = [s["text"] for s in row.spans if s["kind"] == "text"]
+    assert texts[0] == "Main headline"
+    assert all("Copyright" not in t for t in texts)
+    assert row.lang == "en"
+    assert [s["offset"] for s in row.spans] == list(range(len(row.spans)))
