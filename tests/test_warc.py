@@ -144,3 +144,35 @@ def test_warc_html_to_extraction_pipeline(spark, tmp_path):
     assert all("Copyright" not in t for t in texts)
     assert row.lang == "en"
     assert [s["offset"] for s in row.spans] == list(range(len(row.spans)))
+
+
+def test_html_extraction_never_raises():
+    """Malformed/adversarial markup degrades, never throws."""
+    import random
+
+    from pdf_extract_spark.functions.htmlextract import extract_main_spans
+
+    samples = [
+        "",
+        "<",
+        "<html",
+        "plain text with no tags at all, but long enough to be a block",
+        "<p>unclosed paragraph with sufficient length to keep around here",
+        "</div></p></body>stray end tags everywhere</nav>",
+        "<p>" + "a" * 100000 + "</p>",
+        "<div>" * 500 + "deep nesting but with enough text to keep" + "</div>" * 500,
+        "<p>entity bomb &amp;&lt;&gt;&quot; &#65;&#x42; and unicode 中文</p>",
+        "<a href='x'><p>block inside inline with plenty of text to consider</p></a>",
+    ]
+    rng = random.Random(7)
+    base = ("<html><body><nav>x</nav><p>Real content paragraph that is long "
+            "enough to keep for sure.</p></body></html>")
+    for seed in range(60):
+        s = list(base)
+        for _ in range(rng.randint(1, 12)):
+            i = rng.randrange(len(s))
+            s[i] = chr(rng.randrange(1, 128))
+        samples.append("".join(s))
+    for html in samples:
+        out = extract_main_spans(html)
+        assert isinstance(out, list)  # no throw, structured output
