@@ -481,6 +481,44 @@ def extract_spans_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_html_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML tier end-to-end: documents wrapped in a chrome-bearing
+    page template (nav + sidebar + footer around the text) flow through
+    the DOM-heuristic boilerplate strip as kind='html' spans; output
+    counts prove the chrome is gone and the content survives. Rows-only
+    check (DOM parsing is not SQL-expressible)."""
+    from .plans.pipeline import SPAN_TYPE, extract_spans
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    page = F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><a href="/">Home</a><a href="/x">More</a></nav>'
+              '<div class="sidebar"><p>Subscribe to the newsletter now '
+              'for updates!</p></div><article><p>'),
+        F.col("text"),
+        F.lit('</p></article><footer><p>Copyright notice, all rights '
+              'reserved worldwide.</p></footer></body></html>'),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                page.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).cast(SPAN_TYPE).alias("spans"),
+    )
+    out = extract_spans(wrapped)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        "n_lines", "lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -520,6 +558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": multimodal.multimodal_resize,
     "multimodal_frames": multimodal.multimodal_frames,
     "extract_spans_synth": extract_spans_synth,
+    "extract_html_synth": extract_html_synth,
 }
 
 ORACLES: dict[str, str] = {
