@@ -541,7 +541,16 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    while True:
+    # Convergence bound: one round moves the min label one hop, so the
+    # loop runs O(graph diameter) rounds. Near-dup clusters are
+    # near-cliques (diameter ≤ 3-4); the cap is a driver-loop backstop
+    # against pathological chain graphs — hitting it leaves a FINER
+    # partition (long chains split into ≤-cap segments), never a wrong
+    # merge, and real corpora sit far below it.
+    max_rounds = 64
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
         neigh = (
             sym.join(labels, sym["dst"] == labels["doc_id"])
             .groupBy("src")
