@@ -56,14 +56,44 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
+def _iter_gzip_members(data: bytes):
+    """Decompress concatenated gzip members ONE AT A TIME (the Common
+    Crawl layout is one member per record): peak memory is the largest
+    single member, not the whole decompressed archive (~4 GB for a 1 GB
+    segment)."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos: pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        if not d.eof:
+            # truncated final member — salvage what decompressed
+            if chunk:
+                yield chunk
+            return
+        yield chunk
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
 def iter_warc_records(data: bytes):
     """Yield (warc_headers, payload_bytes) per record of one WARC file
-    (plain or multi-member gzip)."""
+    (plain, or multi-member gzip streamed member-by-member)."""
     if data[:2] == b"\x1f\x8b":
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            return
+        for member in _iter_gzip_members(data):
+            yield from _iter_plain_records(member)
+        return
+    yield from _iter_plain_records(data)
+
+
+def _iter_plain_records(data: bytes):
     pos = 0
     n = len(data)
     while pos < n:

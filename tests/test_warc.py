@@ -176,3 +176,21 @@ def test_html_extraction_never_raises():
     for html in samples:
         out = extract_main_spans(html)
         assert isinstance(out, list)  # no throw, structured output
+
+
+def test_gzip_single_member_and_truncated():
+    """Both gzip layouts work: one member per record (Common Crawl) and
+    one member for the whole archive; a truncated final member salvages
+    the complete records before it."""
+    import gzip
+
+    from pdf_extract_spark.sources.warc import iter_warc_records
+
+    recs = _records()
+    assert len(list(iter_warc_records(gzip.compress(_build_warc(recs))))) == 4
+    per_member = b"".join(gzip.compress(r) for r in recs)
+    assert len(list(iter_warc_records(per_member))) == 4
+    # drop the tail of the last member
+    truncated = per_member[: len(per_member) - 40]
+    got = list(iter_warc_records(truncated))
+    assert 2 <= len(got) <= 3  # the 3 intact members' records survive
