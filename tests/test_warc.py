@@ -190,7 +190,11 @@ def test_gzip_single_member_and_truncated():
     assert len(list(iter_warc_records(gzip.compress(_build_warc(recs))))) == 4
     per_member = b"".join(gzip.compress(r) for r in recs)
     assert len(list(iter_warc_records(per_member))) == 4
-    # drop the tail of the last member
+    # drop the tail of the last member: the 3 intact members' records
+    # survive fully; the truncated one may salvage with a short body
     truncated = per_member[: len(per_member) - 40]
     got = list(iter_warc_records(truncated))
-    assert 2 <= len(got) <= 3  # the 3 intact members' records survive
+    assert 3 <= len(got) <= 4
+    full = list(iter_warc_records(per_member))
+    for (h_t, b_t), (h_f, b_f) in zip(got[:3], full[:3]):
+        assert h_t == h_f and b_t == b_f
