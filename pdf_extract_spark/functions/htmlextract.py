@@ -78,6 +78,7 @@ class _MainContentParser(HTMLParser):
         self._heading = 0
         self._cur: _Block | None = None
         self.title = ""
+        self.lang_attr = ""
         self._in_title = False
 
     # -- block lifecycle ----------------------------------------------------
@@ -104,6 +105,9 @@ class _MainContentParser(HTMLParser):
 
     # -- parser events ------------------------------------------------------
     def handle_starttag(self, tag, attrs):
+        if tag == "html" and not self.lang_attr:
+            lang = next((v for k, v in attrs if k == "lang" and v), "")
+            self.lang_attr = lang.split("-")[0].strip().lower()
         if tag == "title":
             # title lives inside <head> (a skip container) but is the
             # one piece of it worth keeping
@@ -190,20 +194,19 @@ class _MainContentParser(HTMLParser):
 def extract_main_spans(html: str) -> list[tuple[str, str, str]]:
     """(kind, text, media_ref) main-content spans of one HTML document,
     in DOM order; boilerplate stripped per the module heuristics."""
+    return parse_main(html).out
+
+
+def parse_main(html: str) -> "_MainContentParser":
+    """Parsed document (spans + title + declared lang attribute)."""
     p = _MainContentParser()
     try:
         p.feed(html or "")
         p.close()
     except Exception:
         pass  # salvage whatever parsed before malformed markup
-    return p.out
+    return p
 
 
 def extract_title(html: str) -> str:
-    p = _MainContentParser()
-    try:
-        p.feed(html or "")
-        p.close()
-    except Exception:
-        pass
-    return _WS_RE.sub(" ", p.title).strip()
+    return _WS_RE.sub(" ", parse_main(html).title).strip()

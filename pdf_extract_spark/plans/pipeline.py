@@ -275,11 +275,12 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
             # north-rule HTML tier: DOM-heuristic boilerplate strip →
             # ordered text/media spans (functions/htmlextract.py)
             from ..functions import langid
-            from ..functions.htmlextract import extract_main_spans
+            from ..functions.htmlextract import parse_main
             from ..operators.layout import _collapse_ws
 
+            parsed = parse_main(span["text"] or "")
             counts: dict[str, int] = {}
-            for k2, t2, m2 in extract_main_spans(span["text"] or ""):
+            for k2, t2, m2 in parsed.out:
                 if k2 == "media":
                     out_spans.append(
                         {"kind": "media", "text": "", "media_ref": m2})
@@ -303,6 +304,9 @@ def _extract_one(doc_id: str, spans, rules, max_pages, extract_pdf,
                     {"lang": l, "percent": c * 100.0 / total, "rows": c}
                     for l, c in ordered
                 ]
+            elif not lang and parsed.lang_attr:
+                # declared <html lang> as fallback when no line detected
+                lang = parsed.lang_attr
         elif kind == "text":
             from ..operators.layout import _collapse_ws
 

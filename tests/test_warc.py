@@ -198,3 +198,21 @@ def test_gzip_single_member_and_truncated():
     full = list(iter_warc_records(per_member))
     for (h_t, b_t), (h_f, b_f) in zip(got[:3], full[:3]):
         assert h_t == h_f and b_t == b_f
+
+
+def test_html_lang_attribute_fallback(spark):
+    """A doc whose blocks defeat stopword detection still gets the
+    declared <html lang> as its language."""
+    from pdf_extract_spark.plans.pipeline import extract_spans
+
+    html = ('<html lang="fi-FI"><body><p>Lyhyt kappale ilman yleisiä '
+            'pikkusanoja: tekstintunnistus epäonnistuu tässä varmasti '
+            'kokonaan.</p></body></html>')
+    df = spark.createDataFrame(
+        [("h1", [{"kind": "html", "text": html, "media_ref": "",
+                  "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    row = extract_spans(df).collect()[0]
+    assert row.lang in ("fi",)  # attr fallback (or detection, both fi)
