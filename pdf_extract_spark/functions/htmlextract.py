@@ -38,11 +38,13 @@ VOID_TAGS = frozenset(
     "img br hr meta link input area base col embed source track wbr".split()
 )
 
-#: id/class vocabulary marking chrome containers
+#: id/class vocabulary marking chrome containers, plus the ARIA
+#: landmark roles (role="navigation"/"banner"/"contentinfo"/…)
 _BOILER_ATTR_RE = re.compile(
-    r"(?:^|[\s_-])(?:nav|navbar|menu|footer|header|sidebar|side-bar|"
-    r"comment|comments|banner|advert|ad|ads|promo|share|social|cookie|"
-    r"breadcrumb|pagination|related|widget)(?:$|[\s_-])",
+    r"(?:^|[\s_-])(?:nav|navbar|navigation|menu|footer|header|sidebar|"
+    r"side-bar|comment|comments|banner|advert|ad|ads|promo|share|social|"
+    r"cookie|breadcrumb|pagination|related|widget|contentinfo|"
+    r"complementary|search|toolbar)(?:$|[\s_-])",
     re.IGNORECASE,
 )
 

@@ -216,3 +216,15 @@ def test_html_lang_attribute_fallback(spark):
     )
     row = extract_spans(df).collect()[0]
     assert row.lang in ("fi",)  # attr fallback (or detection, both fi)
+
+
+def test_aria_landmark_roles_are_boilerplate():
+    from pdf_extract_spark.functions.htmlextract import extract_main_spans
+
+    html = ('<html><body>'
+            '<div role="navigation"><p>Home page link list goes here now</p></div>'
+            '<div role="contentinfo"><p>Site information and legal notices.</p></div>'
+            '<p>The real article body, with enough characters to keep.</p>'
+            '</body></html>')
+    texts = [t for k, t, _ in extract_main_spans(html) if k == "text"]
+    assert texts == ["The real article body, with enough characters to keep."]
