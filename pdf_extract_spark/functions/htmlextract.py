@@ -38,13 +38,19 @@ VOID_TAGS = frozenset(
     "img br hr meta link input area base col embed source track wbr".split()
 )
 
-#: id/class vocabulary marking chrome containers, plus the ARIA
-#: landmark roles (role="navigation"/"banner"/"contentinfo"/…)
+#: id/class vocabulary marking chrome containers
 _BOILER_ATTR_RE = re.compile(
     r"(?:^|[\s_-])(?:nav|navbar|navigation|menu|footer|header|sidebar|"
     r"side-bar|comment|comments|banner|advert|ad|ads|promo|share|social|"
-    r"cookie|breadcrumb|pagination|related|widget|contentinfo|"
-    r"complementary|search|toolbar)(?:$|[\s_-])",
+    r"cookie|breadcrumb|pagination|related|widget|toolbar)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+#: ARIA landmark roles that are chrome; "search" is role-only because a
+#: class="search-results" container can hold the page's actual content
+_BOILER_ROLE_RE = re.compile(
+    r"^(?:navigation|banner|contentinfo|complementary|search|menu|"
+    r"menubar|toolbar)$",
     re.IGNORECASE,
 )
 
@@ -124,7 +130,8 @@ class _MainContentParser(HTMLParser):
             self._stack.append((tag, False))
             return
         boilerish = tag in BOILER_TAGS or any(
-            k in ("id", "class", "role") and v and _BOILER_ATTR_RE.search(v)
+            (k in ("id", "class") and v and _BOILER_ATTR_RE.search(v))
+            or (k == "role" and v and _BOILER_ROLE_RE.match(v.strip()))
             for k, v in attrs
         )
         if tag == "img":

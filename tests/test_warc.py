@@ -228,3 +228,13 @@ def test_aria_landmark_roles_are_boilerplate():
             '</body></html>')
     texts = [t for k, t, _ in extract_main_spans(html) if k == "text"]
     assert texts == ["The real article body, with enough characters to keep."]
+
+
+def test_search_results_class_is_not_chrome():
+    from pdf_extract_spark.functions.htmlextract import extract_main_spans
+
+    html = ('<html><body><div class="search-results">'
+            '<p>First search result with a meaningful description text.</p>'
+            '</div></body></html>')
+    texts = [t for k, t, _ in extract_main_spans(html) if k == "text"]
+    assert texts  # content inside a search-results container survives
