@@ -371,17 +371,30 @@ class SentenceJoinScorer:
 
     @classmethod
     def load(cls, path_or_prefix: str,
-             threshold: float = DEFAULT_THRESHOLD) -> "SentenceJoinScorer":
+             threshold: float | None = None) -> "SentenceJoinScorer":
         """Dispatch loader: ``*.blm`` (binary, self-contained) or an
-        ARPA prefix (``{prefix}.forward.lm``/``.backward.lm``)."""
+        ARPA prefix (``{prefix}.forward.lm``/``.backward.lm``).  An
+        explicitly passed ``threshold`` overrides the model's own
+        (including a ``.blm``'s stored one); ``None`` keeps the stored
+        value for binary models and ``DEFAULT_THRESHOLD`` for ARPA."""
         import os
 
-        if path_or_prefix.endswith(".blm") or (
-            os.path.isfile(path_or_prefix)
-            and open(path_or_prefix, "rb").read(8) == cls._BLM_MAGIC
-        ):
-            return cls.from_binary(path_or_prefix)
-        return cls.from_arpa(path_or_prefix, threshold)
+        def _is_blm() -> bool:
+            if path_or_prefix.endswith(".blm"):
+                return True
+            if not os.path.isfile(path_or_prefix):
+                return False
+            with open(path_or_prefix, "rb") as fh:
+                return fh.read(8) == cls._BLM_MAGIC
+
+        if _is_blm():
+            sc = cls.from_binary(path_or_prefix)
+            if threshold is not None:
+                sc.threshold = threshold
+            return sc
+        return cls.from_arpa(
+            path_or_prefix,
+            DEFAULT_THRESHOLD if threshold is None else threshold)
 
     # -- decision ------------------------------------------------------------
     def score(self, left_text: str, right_text: str) -> float:

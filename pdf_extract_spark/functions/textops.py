@@ -777,6 +777,13 @@ def _run_stream(
                 # text ops); operands stay until cleared here. Then
                 # swallow any following drawing run in one match —
                 # path data dominates token counts on drawing pages.
+                # Unhandled ops still count toward the per-page budget
+                # (a pathological page of pure path ops must hit the
+                # cap too); the swallowed run is one cheap regex match,
+                # so one unit per op is the right weight.
+                budget += 1
+                if budget > MAX_OPS_PER_PAGE:
+                    break
                 stack.clear()
                 mr = _DRAW_RUN.match(data, pos)
                 if mr is not None:
@@ -913,11 +920,16 @@ def _run_stream(
             elif op == "Do":
                 if stack and isinstance(stack[-1], str):
                     op_budget[0] = budget  # sync shared budget across recursion
-                    _do_xobject(
-                        doc, pageno, stack[-1], resources, gs, font_cache,
-                        runs, medias, depth, op_budget, media_seq,
-                    )
-                    budget = op_budget[0]
+                    try:
+                        _do_xobject(
+                            doc, pageno, stack[-1], resources, gs, font_cache,
+                            runs, medias, depth, op_budget, media_seq,
+                        )
+                    finally:
+                        # resync even when the recursion raises — the
+                        # outer defensive except must not discard the
+                        # increments the recursion already made
+                        budget = op_budget[0]
         except Exception:
             pass  # defensive: a malformed operand skips one op only
         stack.clear()

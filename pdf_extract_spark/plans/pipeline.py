@@ -162,15 +162,12 @@ def _get_scorer(sj_model, sj_threshold: float | None):
     key = f"{sj_model}|{sj_threshold}"
     sc = _SCORER_CACHE.get(key)
     if sc is None:
-        from ..functions.sentencejoin import DEFAULT_THRESHOLD, SentenceJoinScorer
+        from ..functions.sentencejoin import SentenceJoinScorer
 
         try:
-            # .blm binary (fast executor load) or ARPA prefix
-            sc = SentenceJoinScorer.load(
-                sj_model,
-                DEFAULT_THRESHOLD if sj_threshold is None else sj_threshold)
-            if sj_threshold is not None:
-                sc.threshold = sj_threshold
+            # .blm binary (fast executor load) or ARPA prefix; load()
+            # applies an explicit threshold, keeps the model's otherwise
+            sc = SentenceJoinScorer.load(sj_model, sj_threshold)
         except (OSError, ValueError):
             sc = "missing"
         _SCORER_CACHE[key] = sc
@@ -428,8 +425,12 @@ def extract_spans_mirror_dedup(df: DataFrame, **kwargs) -> DataFrame:
     is why it is opt-in (BENCH.md §4: payload shuffles measured ~40%
     of extraction wall at sf0.1). Per-doc timing columns reflect the
     one real extraction, shared by its mirrors."""
+    # coalesce: a null spans column must hash to a real key — md5(null)
+    # is null, which never equi-joins, and the doc would silently vanish
+    # where plain extract_spans emits an error row for it
     hashed = df.select("doc_id", "spans").withColumn(
-        "payload_md5", F.md5(F.to_json("spans"))
+        "payload_md5",
+        F.md5(F.coalesce(F.to_json("spans"), F.lit("null"))),
     )
     reps = (
         hashed.select(F.col("payload_md5").alias("doc_id"), "spans")

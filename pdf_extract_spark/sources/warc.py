@@ -56,31 +56,68 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
+#: chunk-size bounds for feeding the decompressor: start small (a
+#: Common Crawl member is a few KB compressed), grow geometrically
+#: inside a member, seed the next member from the last member's size —
+#: overshoot past a member boundary stays O(that member's size)
+_GZ_CHUNK_MIN = 1 << 12
+_GZ_CHUNK_MAX = 1 << 22
+
+
 def _iter_gzip_members(data: bytes):
     """Decompress concatenated gzip members ONE AT A TIME (the Common
     Crawl layout is one member per record): peak memory is the largest
     single member, not the whole decompressed archive (~4 GB for a 1 GB
-    segment)."""
+    segment).
+
+    Linear total work: the decompressor is fed bounded chunks sliced
+    from a single ``memoryview`` (zero-copy slicing), and the member
+    boundary is recovered from ``d.unused_data``.  Chunks start at
+    ``_GZ_CHUNK_MIN`` (seeded from the previous member's compressed
+    size) and double while a member is unfinished, so both the bytes
+    fed and the ``unused_data`` copied back per member are O(member
+    size) — each archive byte is copied O(1) times overall.  The
+    previous ``d.decompress(data[pos:])`` form copied the whole
+    remaining buffer per member: quadratic on Common Crawl segments
+    (~10^5 members/file).
+    """
     import zlib
 
+    view = memoryview(data)
     pos = 0
     n = len(data)
+    chunk0 = _GZ_CHUNK_MIN
     while pos < n and data[pos: pos + 2] == b"\x1f\x8b":
+        member_start = pos
+        chunk = chunk0
         d = zlib.decompressobj(wbits=31)
+        out: list[bytes] = []
         try:
-            chunk = d.decompress(data[pos:])
+            while not d.eof and pos < n:
+                fed = view[pos: pos + chunk]
+                piece = d.decompress(fed)
+                pos += len(fed)
+                chunk = min(chunk * 2, _GZ_CHUNK_MAX)
+                if piece:
+                    out.append(piece)
         except zlib.error:
+            # corrupt member — salvage what decompressed, stop the walk
+            if out:
+                yield b"".join(out)
             return
         if not d.eof:
             # truncated final member — salvage what decompressed
-            if chunk:
-                yield chunk
+            if out:
+                yield b"".join(out)
             return
-        yield chunk
-        consumed = (n - pos) - len(d.unused_data)
-        if consumed <= 0:
+        # unused_data holds the post-member tail of the LAST fed chunk
+        # (bounded by that chunk's size): rewind to the exact boundary
+        pos -= len(d.unused_data)
+        yield b"".join(out)
+        if pos <= member_start:
             return
-        pos += consumed
+        chunk0 = max(_GZ_CHUNK_MIN,
+                     min(2 * (pos - member_start), _GZ_CHUNK_MAX))
 
 
 def iter_warc_records(data: bytes):

@@ -263,10 +263,19 @@ def corpus_sketch(docs: DataFrame):
 
 def neardup_stream(new_docs: DataFrame, sketch: DataFrame) -> DataFrame:
     """Streaming MinHash near-dup: each arriving doc's bands equi-join
-    the static corpus sketch (a stateless stream-static join — no
-    streaming state at all), then the exact-jaccard verify. Emits
-    (new_id, corpus_id, jacc) per detected near-dup; the ingest filter
-    is an anti-join of the batch against these ids downstream."""
+    the static corpus sketch (a stateless stream-static join), then the
+    exact-jaccard verify. Emits (new_id, corpus_id, jacc) per detected
+    near-dup; the ingest filter is an anti-join of the batch against
+    these ids downstream.
+
+    Genuinely zero streaming state: a pair colliding in several bands
+    would duplicate, but instead of ``dropDuplicates`` (an unbounded
+    keyed state store — one entry per emitted pair, never retired) the
+    pair is kept only on its FIRST colliding band.  Band keys are a
+    deterministic function of the shingle sets, so earlier-band
+    equality is recomputable post-join from (new_sh, corpus_sh) — a few
+    hash folds per LSH candidate, paid only on the rare collision rows,
+    in exchange for state that stays empty at 10^12 docs."""
     from ..functions import sqlkit as K
     from ..functions.sqlkit import SPARK
     from ..operators.dedup import (
@@ -296,11 +305,25 @@ def neardup_stream(new_docs: DataFrame, sketch: DataFrame) -> DataFrame:
         )
         bands = b if bands is None else bands.unionByName(b)
     jac = K.jaccard("new_sh", "corpus_sh", "new_n_sh", "corpus_n_sh", SPARK)
+    # per-band "do these two docs collide?" — recomputed from the joined
+    # shingle sets; array_position finds the first colliding band
+    collide = F.array(*[
+        F.expr(" AND ".join(
+            f"(({K.minhash('new_sh', j, SPARK)})"
+            f" <=> ({K.minhash('corpus_sh', j, SPARK)}))"
+            for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)
+        ))
+        for bi in range(LSH_BANDS)
+    ])
     return (
         bands.join(sketch, ["band_idx", "band_key"])
+        .withColumn(
+            "_first_band",
+            F.array_position(collide, F.lit(True)) - F.lit(1),
+        )
+        .filter(F.col("band_idx") == F.col("_first_band"))
         .select(
             "new_id", "corpus_id", F.expr(jac).alias("jacc"),
         )
         .filter(F.col("jacc") >= JACCARD_TAU)
-        .dropDuplicates(["new_id", "corpus_id"])
     )

@@ -200,6 +200,57 @@ def test_gzip_single_member_and_truncated():
         assert h_t == h_f and b_t == b_f
 
 
+def test_gzip_many_members_linear_time():
+    """A Common-Crawl-shaped archive (one gzip member per record, tens
+    of thousands of members) parses in linear-ish time.  The round-2
+    walk copied the whole remaining buffer per member — quadratic:
+    ~12k members of this archive took minutes; the chunked memoryview
+    walk takes well under a few seconds."""
+    import time
+
+    from pdf_extract_spark.sources.warc import (
+        _iter_gzip_members,
+        iter_warc_records,
+    )
+
+    n_members = 12000
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nbody!"
+    rec = _warc_record("response", "http://x.example/r", payload[39:],
+                       "text/plain", "urn:uuid:lin")
+    one = gzip.compress(rec)
+    archive = one * n_members
+
+    t0 = time.monotonic()
+    members = sum(1 for _ in _iter_gzip_members(archive))
+    dt = time.monotonic() - t0
+    assert members == n_members
+    assert dt < 5.0, f"many-member gzip walk took {dt:.1f}s (quadratic?)"
+
+    # and the record iterator on top sees every record
+    t0 = time.monotonic()
+    n_recs = sum(1 for _ in iter_warc_records(archive))
+    assert n_recs == n_members
+    assert time.monotonic() - t0 < 10.0
+
+
+def test_gzip_mixed_member_sizes():
+    """Member-size adaptivity: alternating tiny and large members all
+    decode byte-exactly (the chunk-size seed from the previous member
+    must not corrupt boundary recovery)."""
+    from pdf_extract_spark.sources.warc import _iter_gzip_members
+
+    import random
+
+    rng = random.Random(3)
+    parts = []
+    for i in range(60):
+        size = 30 if i % 2 == 0 else rng.randrange(50_000, 200_000)
+        parts.append(bytes(rng.randrange(256) for _ in range(size)))
+    archive = b"".join(gzip.compress(p) for p in parts)
+    got = list(_iter_gzip_members(archive))
+    assert got == parts
+
+
 def test_html_lang_attribute_fallback(spark):
     """A doc whose blocks defeat stopword detection still gets the
     declared <html lang> as its language."""
