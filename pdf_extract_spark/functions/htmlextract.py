@@ -85,6 +85,11 @@ class _MainContentParser(HTMLParser):
         self._link = 0
         self._heading = 0
         self._cur: _Block | None = None
+        #: media refs seen inside the OPEN block — buffered so an inline
+        #: <img> doesn't sever the paragraph (a flush mid-block would
+        #: strand the leading fragment below MIN_BLOCK_CHARS and drop
+        #: the sentence); emitted right after the block's text span
+        self._pending_media: list[str] = []
         self.title = ""
         self.lang_attr = ""
         self._in_title = False
@@ -93,20 +98,23 @@ class _MainContentParser(HTMLParser):
     def _flush(self) -> None:
         b = self._cur
         self._cur = None
-        if b is None or b.boiler:
-            return
-        text = b.text()
-        if not text:
-            return
-        if b.heading:
-            if len(text) < MIN_HEADING_CHARS:
-                return
-        else:
-            if len(text) < MIN_BLOCK_CHARS:
-                return
-            if b.link_chars > MAX_LINK_DENSITY * len(text):
-                return  # link list / menu
-        self.out.append(("text", text, ""))
+        text = "" if b is None or b.boiler else b.text()
+        keep = bool(text)
+        if keep:
+            if b.heading:
+                keep = len(text) >= MIN_HEADING_CHARS
+            else:
+                keep = (
+                    len(text) >= MIN_BLOCK_CHARS
+                    and b.link_chars <= MAX_LINK_DENSITY * len(text)
+                )  # else: chrome fragment or link list / menu
+        if keep:
+            self.out.append(("text", text, ""))
+        if self._pending_media:
+            # media survives even when its block's text is dropped —
+            # the img passed its own boiler check at its start tag
+            self.out.extend(("media", "", src) for src in self._pending_media)
+            self._pending_media.clear()
 
     def _open_block(self) -> None:
         self._cur = _Block(self._heading > 0, self._boiler > 0)
@@ -135,10 +143,12 @@ class _MainContentParser(HTMLParser):
             for k, v in attrs
         )
         if tag == "img":
-            self._flush()
             src = next((v for k, v in attrs if k == "src" and v), "")
             if src and not self._boiler and not boilerish:
-                self.out.append(("media", "", src))
+                if self._cur is not None:
+                    self._pending_media.append(src)  # inline: don't split
+                else:
+                    self.out.append(("media", "", src))
             return  # void element: never on the stack
         if tag in VOID_TAGS:
             return

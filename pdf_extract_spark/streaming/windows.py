@@ -116,57 +116,80 @@ _SESSION_STATE = StructType(
 )
 
 
-def _sessionize_group(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Incremental form of the session_window query: carry the open
-    session across micro-batches in GroupState; emit every session's
-    CURRENT aggregate each batch (update mode — the final batch's rows
-    equal the batch-mode result)."""
-    (user_id,) = key
-    if state.exists:
-        last_us, sess_id, sess_start, sess_n = state.get
-    else:
-        last_us, sess_id, sess_start, sess_n = None, 0, None, 0
-    touched: dict[int, tuple[int, int]] = {}
-    # one global sort across ALL of this batch's chunks — chunk-local
-    # sorts processed in iterator order would mis-sessionize events that
-    # arrive out of order across chunks. Events older than the carried
-    # last_us (late arrivals across micro-batches) are DROPPED, not
-    # spliced into already-emitted sessions — the same late-data policy
-    # a watermark applies to the windowed aggregate.
-    chunks = list(pdfs)
-    batch_us = (
-        pd.concat(chunks)["us"].sort_values() if chunks else pd.Series([])
-    )
-    for us in batch_us:
-        us = int(us)
-        if last_us is not None and us < last_us:
-            continue  # late beyond the carried frontier
-        if last_us is None or us - last_us > SESSION_GAP_US:
-            sess_id += 1
-            sess_start = us
-            sess_n = 0
-        sess_n += 1
-        last_us = us
-        touched[sess_id] = (sess_n, last_us - sess_start)
-    state.update((last_us, sess_id, sess_start, sess_n))
-    if touched:
-        yield pd.DataFrame(
-            [
-                {"user_id": user_id, "sess_id": sid, "n_events": n,
-                 "duration_us": dur}
-                for sid, (n, dur) in touched.items()
-            ]
+def _make_sessionize_group(lateness_us: int):
+    """Build the per-group stateful function with a configurable
+    late-data bound (the stateful analogue of a watermark's allowed
+    lateness): an event behind the carried frontier by MORE than
+    ``lateness_us`` is dropped; one within the bound SPLICES into the
+    open session when it falls inside it or within the session gap of
+    its start (re-emitted with updated aggregates — update mode), and
+    is dropped only when it belongs to an already-closed session, which
+    the one-open-session state cannot reopen."""
+
+    def _sessionize_group(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Incremental form of the session_window query: carry the open
+        session across micro-batches in GroupState; emit every session's
+        CURRENT aggregate each batch (update mode — the final batch's
+        rows equal the batch-mode result)."""
+        (user_id,) = key
+        if state.exists:
+            last_us, sess_id, sess_start, sess_n = state.get
+        else:
+            last_us, sess_id, sess_start, sess_n = None, 0, None, 0
+        touched: dict[int, tuple[int, int]] = {}
+        # one global sort across ALL of this batch's chunks — chunk-local
+        # sorts processed in iterator order would mis-sessionize events
+        # that arrive out of order across chunks. Late arrivals across
+        # micro-batches follow the lateness policy above.
+        chunks = list(pdfs)
+        batch_us = (
+            pd.concat(chunks)["us"].sort_values() if chunks else pd.Series([])
         )
+        for us in batch_us:
+            us = int(us)
+            if last_us is not None and us < last_us:
+                if us < last_us - lateness_us:
+                    continue  # late beyond the allowed bound: drop
+                if sess_start is not None and us + SESSION_GAP_US >= sess_start:
+                    # splice into the open session (possibly extending
+                    # its start earlier); frontier does not move back
+                    sess_n += 1
+                    if us < sess_start:
+                        sess_start = us
+                    touched[sess_id] = (sess_n, last_us - sess_start)
+                continue  # within bound but session already closed: drop
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                sess_id += 1
+                sess_start = us
+                sess_n = 0
+            sess_n += 1
+            last_us = us
+            touched[sess_id] = (sess_n, last_us - sess_start)
+        state.update((last_us, sess_id, sess_start, sess_n))
+        if touched:
+            yield pd.DataFrame(
+                [
+                    {"user_id": user_id, "sess_id": sid, "n_events": n,
+                     "duration_us": dur}
+                    for sid, (n, dur) in touched.items()
+                ]
+            )
+
+    return _sessionize_group
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, lateness_us: int = 0) -> DataFrame:
     """Gap-based sessions as a stateful streaming operator
-    (applyInPandasWithState keyed by user_id)."""
+    (applyInPandasWithState keyed by user_id).  ``lateness_us`` is the
+    allowed late-arrival bound behind each user's event-time frontier:
+    0 (default) drops every cross-batch late event; a positive bound
+    splices in-bound late events into the still-open session and drops
+    only those targeting closed sessions or beyond the bound."""
     ev = events.select("user_id", F.expr(_US_SPARK).alias("us"))
     return ev.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _make_sessionize_group(lateness_us),
         outputStructType=_SESSION_OUT,
         stateStructType=_SESSION_STATE,
         outputMode="update",

@@ -207,3 +207,23 @@ def test_srp_fast_path_matches_catalyst(spark):
             for r in srp_signatures_catalyst(spark, SF_DIR).collect()}
     assert fast == slow
     assert len(fast) > 0
+
+
+def test_readme_registry_counts_do_not_drift():
+    """README's registry-count claims are generated facts, not prose:
+    assert they equal len(queries())/len(oracle_sql()) so doc drift is
+    a test failure (r2 VERDICT found 29/28 claimed vs 35/33 actual)."""
+    import re
+
+    import __spark_entry__ as E
+
+    nq, no = len(E.queries()), len(E.oracle_sql())
+    readme = open("README.md").read()
+    m = re.search(r"(\d+) queries, (\d+) with DuckDB oracles", readme)
+    assert m, "README registry line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (nq, no)
+    m = re.search(r"(\d+)/(\d+) OK \((\d+) oracle \+ (\d+) rows-only\)",
+                  readme)
+    assert m, "README check_oracle line missing"
+    assert int(m.group(1)) == int(m.group(2)) == nq
+    assert int(m.group(3)) == no and int(m.group(4)) == nq - no

@@ -105,6 +105,68 @@ def test_stateful_sessionizer_matches_batch(spark, events_dir):
     assert len(final) > 50
 
 
+@pytest.mark.parametrize(
+    "lateness_min,expect_spliced",
+    [(0, False), (20, True)],
+    ids=["zero-bound-drops", "in-bound-splices"],
+)
+def test_sessionizer_lateness_bound(spark, tmp_path, lateness_min,
+                                    expect_spliced):
+    """The late-data bound is a parameter: a cross-batch event 10 min
+    behind the frontier (inside the open session) splices in when the
+    bound allows it and drops when the bound is 0; an event far beyond
+    any bound (inside a CLOSED session) always drops."""
+    from pdf_extract_spark.streaming.windows import (
+        run_available_now,
+        sessionize_stream,
+    )
+
+    # batch 0: session 1 = {t0, t0+10m} … 40m gap … session 2 = {t0+50m,
+    # t0+60m}.  batch 1: one event at t0+50m — 10 min behind the
+    # frontier (t0+60m), inside the open session 2 — and one at t0+5m,
+    # inside CLOSED session 1 (beyond any tested bound).
+    from datetime import datetime, timedelta
+
+    def mk(minute):
+        return (7, datetime(2024, 3, 1) + timedelta(minutes=minute))
+    b0 = [mk(0), mk(10), mk(50), mk(60)]
+    b1 = [mk(50), mk(5)]
+    schema = "user_id long, ts timestamp_ntz"
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(d + "/t0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/t1")
+    i = 0
+    for sub in ("t0", "t1"):
+        for f in sorted(os.listdir(f"{d}/{sub}")):
+            if f.endswith(".parquet"):
+                os.link(f"{d}/{sub}/{f}", f"{d}/{i:02d}.parquet")
+                i += 1
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    mem = run_available_now(
+        sessionize_stream(sdf, lateness_us=lateness_min * 60_000_000),
+        f"late_sessions_{lateness_min}", "update",
+    )
+    final = {
+        r.sess_id: (r.n_events, r.duration_us)
+        for r in mem.groupBy("sess_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("duration_us").alias("duration_us"))
+        .collect()
+    }
+    # session 1 is closed: the t0+5m late event never splices
+    assert final[1] == (2, 10 * 60_000_000)
+    if expect_spliced:
+        assert final[2] == (3, 10 * 60_000_000)
+    else:
+        assert final[2] == (2, 10 * 60_000_000)
+
+
 def test_streaming_extraction_matches_batch(spark, tmp_path):
     """The flagship operator through Structured Streaming: drain a
     2-file corpus with availableNow and compare spans to the batch
@@ -142,7 +204,9 @@ def test_sessionize_group_cross_chunk_order_and_late_drop():
     import pandas as pd
 
     from pdf_extract_spark.queries import SESSION_GAP_US
-    from pdf_extract_spark.streaming.windows import _sessionize_group
+    from pdf_extract_spark.streaming.windows import _make_sessionize_group
+
+    _sessionize_group = _make_sessionize_group(0)
 
     class FakeState:
         def __init__(self):

@@ -124,6 +124,34 @@ def test_html_main_content_extraction():
     assert extract_title(_HTML_PAGE.decode()) == "A Title"
 
 
+def test_inline_img_does_not_split_block():
+    """An inline <img> mid-paragraph keeps the paragraph whole (the old
+    flush-on-img severed the leading fragment, which then fell under
+    MIN_BLOCK_CHARS and lost the first sentence) and media refs keep
+    document order."""
+    from pdf_extract_spark.functions.htmlextract import extract_main_spans
+
+    html = ('<html><body><p>Start of the paragraph '
+            '<img src="http://img.example/a.png"/> and the rest of the '
+            'paragraph continues long enough to keep around.</p>'
+            '<img src="http://img.example/b.png"/>'
+            '<p>Second paragraph is also long enough to survive the '
+            'block threshold.</p></body></html>')
+    spans = extract_main_spans(html)
+    texts = [t for k, t, _ in spans if k == "text"]
+    assert len(texts) == 2
+    assert texts[0] == ("Start of the paragraph and the rest of the "
+                        "paragraph continues long enough to keep around.")
+    media = [m for k, _, m in spans if k == "media"]
+    assert media == ["http://img.example/a.png", "http://img.example/b.png"]
+    # a inline ref emits with its enclosing block, before the body-level
+    # ref and before the following paragraph
+    kinds = [(k, t or m) for k, t, m in spans]
+    assert kinds.index(("media", "http://img.example/a.png")) \
+        < kinds.index(("media", "http://img.example/b.png")) \
+        < kinds.index(("text", texts[1]))
+
+
 def test_warc_html_to_extraction_pipeline(spark, tmp_path):
     """WARC with an HTML response → html span → DOM boilerplate strip →
     ordered text/media spans with doc language."""
