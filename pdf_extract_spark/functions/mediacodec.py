@@ -45,6 +45,118 @@ def parse_png_header(b: bytes) -> tuple[int, int] | None:
     return w, h
 
 
+def parse_png_pixels(b: bytes):
+    """(width, height, grayscale_rows | None): full pixel decode for the
+    common non-interlaced 8/16-bit-depth PNGs — color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — via stdlib zlib
+    IDAT inflate + the five scanline filters (None/Sub/Up/Average/
+    Paeth).  Interlaced (Adam7) or sub-byte-depth files return the
+    dimensions with ``None`` pixels, same contract as ``parse_bmp``.
+    16-bit samples use the high byte (PNG network order puts it first).
+    """
+    import zlib
+
+    hdr = parse_png_header(b)
+    if hdr is None:
+        return None
+    w, h = hdr
+    if len(b) < 29:  # IHDR data runs to byte 29; shorter → dims only
+        return w, h, None
+    bit_depth, color_type, _comp, _filt, interlace = b[24:29]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return w, h, None
+    if interlace != 0 or bit_depth not in (8, 16) or (
+        color_type == 3 and bit_depth != 8
+    ):
+        return w, h, None
+    if w * h > 1 << 24:  # 16 Mpx cap: pure-Python decode budget
+        return w, h, None
+
+    # chunk walk: collect IDAT (concatenated zlib stream) and PLTE
+    idat = bytearray()
+    plte = None
+    pos = 8
+    n = len(b)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", b[pos: pos + 4])
+        ctype = b[pos + 4: pos + 8]
+        data_end = pos + 8 + clen
+        if data_end + 4 > n:
+            break
+        if ctype == b"IDAT":
+            idat += b[pos + 8: data_end]
+        elif ctype == b"PLTE":
+            plte = b[pos + 8: data_end]
+        elif ctype == b"IEND":
+            break
+        pos = data_end + 4
+    if not idat or (color_type == 3 and (not plte or len(plte) % 3)):
+        return w, h, None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return w, h, None
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes  # filter distance, per the spec
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        return w, h, None
+
+    prev = bytearray(stride)
+    rows: list[list[int]] = []
+    pos = 0
+    for _y in range(h):
+        ftype = raw[pos]
+        cur = bytearray(raw[pos + 1: pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + bb - c
+                pa = p - a if p > a else a - p
+                pb = p - bb if p > bb else bb - p
+                pc = p - c if p > c else c - p
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        elif ftype != 0:
+            return w, h, None
+        prev = cur
+
+        row: list[int] = []
+        if color_type == 3:  # palette index → RGB → luma
+            for x in range(w):
+                idx = cur[x] * 3
+                if idx + 3 > len(plte):
+                    return w, h, None
+                rd, g, bl = plte[idx], plte[idx + 1], plte[idx + 2]
+                row.append((rd * 299 + g * 587 + bl * 114) // 1000)
+        elif channels == 1:
+            row = [cur[x * sample_bytes] for x in range(w)]
+        elif channels == 2:  # gray + alpha
+            row = [cur[x * bpp] for x in range(w)]
+        else:  # RGB / RGBA
+            for x in range(w):
+                o = x * bpp
+                rd, g, bl = cur[o], cur[o + sample_bytes], \
+                    cur[o + 2 * sample_bytes]
+                row.append((rd * 299 + g * 587 + bl * 114) // 1000)
+        rows.append(row)
+    return w, h, rows
+
+
 # -- JPEG -------------------------------------------------------------------
 
 
@@ -190,8 +302,15 @@ def sniff_decode(payload: bytes, media_ref: str, kind: str) -> dict | None:
             "phash": ahash64(rows) if rows else _polyhash(payload[:4096]),
             "decoder": "bmp" if rows else "bmp-header",
         }
-    for name, parser in (("png-header", parse_png_header),
-                         ("jpeg-header", parse_jpeg_sof),
+    png = parse_png_pixels(payload)
+    if png is not None:
+        w, h, rows = png
+        return {
+            "width": int(w), "height": int(h),
+            "phash": ahash64(rows) if rows else _polyhash(payload[:4096]),
+            "decoder": "png" if rows else "png-header",
+        }
+    for name, parser in (("jpeg-header", parse_jpeg_sof),
                          ("gif-header", parse_gif_header)):
         dims = parser(payload)
         if dims is not None:

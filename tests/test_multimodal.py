@@ -209,3 +209,198 @@ class TestStdlibDecoders:
         assert rows["d2"].decoder == "wav"
         assert rows["d2"].width == 8000
         assert rows["d3"].decoder == "stub:image"
+
+
+class TestPngPixelDecode:
+    """Full PNG pixel decode (zlib IDAT + the five scanline filters):
+    the aHash64 must be identical to the BMP aHash of the same pixels —
+    cross-format fingerprint consistency is what makes image near-dedup
+    work across a mixed web corpus."""
+
+    @staticmethod
+    def _png(w, h, pix, color_type=2, bit_depth=8, row_filters=None,
+             palette=None, interlace=0):
+        """Minimal valid PNG encoder for tests. ``pix(r, c)`` returns an
+        (r, g, b) tuple; filters are applied per-row as requested so the
+        decoder's unfilter paths all get exercised."""
+        import struct
+        import zlib
+
+        chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        sb = bit_depth // 8
+        bpp = chans * sb
+        stride = w * bpp
+
+        def sample(v):
+            return bytes([v]) if sb == 1 else bytes([v, 0x5A])
+
+        raws = []
+        for r in range(h):
+            row = bytearray()
+            for c in range(w):
+                rd, g, b = pix(r, c)
+                if color_type == 0:
+                    row += sample((rd * 299 + g * 587 + b * 114) // 1000)
+                elif color_type == 2:
+                    row += sample(rd) + sample(g) + sample(b)
+                elif color_type == 3:
+                    row += bytes([palette.index((rd, g, b))])
+                elif color_type == 4:
+                    row += sample((rd * 299 + g * 587 + b * 114) // 1000) \
+                        + sample(255)
+                else:
+                    row += sample(rd) + sample(g) + sample(b) + sample(255)
+            raws.append(bytes(row))
+
+        # apply the requested filter per row (inverse of the decoder)
+        out = bytearray()
+        prev = bytes(stride)
+        for r, cur in enumerate(raws):
+            f = (row_filters or [0])[r % len(row_filters or [0])]
+            filt = bytearray(cur)
+            if f == 1:
+                for i in range(stride - 1, -1, -1):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    filt[i] = (cur[i] - left) & 0xFF
+            elif f == 2:
+                for i in range(stride):
+                    filt[i] = (cur[i] - prev[i]) & 0xFF
+            elif f == 3:
+                for i in range(stride):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    filt[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b_ = prev[i]
+                    c_ = prev[i - bpp] if i >= bpp else 0
+                    p = a + b_ - c_
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b_ if pb <= pc else c_)
+                    filt[i] = (cur[i] - pr) & 0xFF
+            out += bytes([f]) + bytes(filt)
+            prev = cur
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                           interlace)
+        body = chunk(b"IHDR", ihdr)
+        if color_type == 3:
+            body += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+        comp = zlib.compress(bytes(out))
+        # split IDAT in two to exercise chunk concatenation
+        mid = len(comp) // 2
+        body += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+        body += chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    @staticmethod
+    def _grad(r, c):
+        return ((r * 16) % 256, (c * 16) % 256, ((r + c) * 8) % 256)
+
+    def test_png_matches_bmp_ahash_all_filters(self):
+        from pdf_extract_spark.functions.mediacodec import (
+            ahash64,
+            parse_bmp,
+            sniff_decode,
+        )
+
+        png = self._png(16, 16, self._grad, row_filters=[0, 1, 2, 3, 4])
+        d = sniff_decode(png, "m", "image")
+        assert (d["width"], d["height"], d["decoder"]) == (16, 16, "png")
+
+        # same pixels as 24-bit BMP (bottom-up rows)
+        import struct
+
+        stride = ((16 * 3) + 3) & ~3
+        px = bytearray()
+        for r in range(15, -1, -1):
+            row = bytearray()
+            for c in range(16):
+                rd, g, b = self._grad(r, c)
+                row += bytes([b, g, rd])
+            px += row + b"\x00" * (stride - len(row))
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, 16, 16, 1, 24, 0,
+                             len(px), 2835, 2835, 0, 0) + px)
+        w, h, rows = parse_bmp(bmp)
+        assert d["phash"] == ahash64(rows) != 0
+
+    def test_png_color_types(self):
+        from pdf_extract_spark.functions.mediacodec import parse_png_pixels
+
+        rgb = parse_png_pixels(self._png(9, 7, self._grad, color_type=2))
+        for ct in (0, 4):
+            got = parse_png_pixels(
+                self._png(9, 7, self._grad, color_type=ct,
+                          row_filters=[1, 4]))
+            assert got[2] == rgb[2]  # same luma plane
+        pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+        checker = lambda r, c: pal[(r + c) % 4]
+        got = parse_png_pixels(
+            self._png(8, 8, checker, color_type=3, palette=pal))
+        want = [[(p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000
+                 for c in range(8) for p in [checker(r, c)]]
+                for r in range(8)]
+        assert got[2] == want
+        rgba = parse_png_pixels(
+            self._png(9, 7, self._grad, color_type=6, row_filters=[3]))
+        assert rgba[2] == rgb[2]
+
+    def test_png_16bit_uses_high_byte(self):
+        from pdf_extract_spark.functions.mediacodec import parse_png_pixels
+
+        rgb8 = parse_png_pixels(self._png(6, 5, self._grad))
+        rgb16 = parse_png_pixels(
+            self._png(6, 5, self._grad, bit_depth=16, row_filters=[2]))
+        assert rgb16[2] == rgb8[2]
+
+    def test_png_interlaced_falls_back_to_header(self):
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        png = self._png(8, 8, self._grad, interlace=1)
+        d = sniff_decode(png, "m", "image")
+        assert d["decoder"] == "png-header"
+        assert (d["width"], d["height"]) == (8, 8)
+
+    def test_png_truncated_and_corrupt_fall_back(self):
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        png = self._png(8, 8, self._grad)
+        trunc = png[:40]  # header only, no complete IDAT
+        d = sniff_decode(trunc, "m", "image")
+        assert d["decoder"] == "png-header"
+
+    def test_checked_in_fixture_hash(self):
+        """The committed PNG fixture decodes to its pinned aHash64 —
+        regression anchor for the whole decode path."""
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        with open("tests/golden/fingerprint.png", "rb") as fh:
+            png = fh.read()
+        d = sniff_decode(png, "m", "image")
+        assert d["decoder"] == "png"
+        assert (d["width"], d["height"]) == (24, 16)
+        assert d["phash"] == PNG_FIXTURE_AHASH
+
+    def test_pipeline_png_rows(self, spark):
+        from pdf_extract_spark.operators.multimodal import media_features
+
+        png = self._png(16, 16, self._grad, row_filters=[0, 1, 2, 3, 4])
+        df = spark.createDataFrame(
+            [("p1", "img://p", "image", bytearray(png))],
+            "doc_id string, media_ref string, media_kind string, "
+            "payload binary",
+        )
+        r = media_features(df).collect()[0]
+        assert r.decoder == "png"
+        assert (r.width, r.height) == (16, 16)
+
+
+#: pinned aHash64 of tests/golden/fingerprint.png (24x16 textured
+#: gradient, filters 0-4 cycling; generated deterministically)
+PNG_FIXTURE_AHASH = -6989942055049351056
