@@ -90,6 +90,21 @@ def aintersect_size(a: str, b: str, d: str) -> str:
     return asize(f"{fn}({a}, {b})", d)
 
 
+def agg_list(col: str, d: str) -> str:
+    """Group-aggregate a column into a list. Element ORDER differs
+    between engines — only use under order-independent reductions
+    (e.g. integer elementwise sums)."""
+    return f"collect_list({col})" if d == SPARK else f"list({col})"
+
+
+def zipadd(a: str, b: str, d: str) -> str:
+    """Elementwise sum of two equal-length bigint arrays."""
+    if d == SPARK:
+        return f"zip_with({a}, {b}, (zx, zy) -> zx + zy)"
+    return (f"list_transform(range(1, len({a}) + 1), "
+            f"zz -> ({a})[zz] + ({b})[zz])")
+
+
 def intdiv(a: str, b: str, d: str) -> str:
     return f"({a} DIV {b})" if d == SPARK else f"({a} // {b})"
 

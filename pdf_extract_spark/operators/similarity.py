@@ -293,3 +293,133 @@ def srp_signatures_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_srp_bit('v', j, SPARK)} * {1 << j})" for j in range(SRP_BITS)
     )
     return emb.select("vec_id", F.expr(sig).cast("long").alias("srp_sig"))
+
+
+# ---------------------------------------------------------------------------
+# trained IVF: sampled k-means coarse quantizer, no precomputed labels
+# ---------------------------------------------------------------------------
+
+IVF_K = 8            # coarse cells
+IVF_SAMPLE_STRIDE = 5   # training sample = vec_id % stride == 0 (bounded)
+IVF_NPROBE = 2       # probed cells per query
+IVF_QSCALE = 1024    # quantization: round(x * 2^10) — power of two, exact
+
+
+def _qv(v: str, d: str) -> str:
+    """Quantize a double array to bigints: every subsequent k-means sum
+    is EXACT integer math, so centroid training is order-independent and
+    replays bit-identically in the DuckDB oracle (float group-sums would
+    differ by engine-internal addition order). Scaling by a power of two
+    keeps the multiply exact; round() matches across engines
+    (half-away-from-zero in both)."""
+    return K.xform(v, f"x -> cast(round(x * {IVF_QSCALE}) as bigint)", d)
+
+
+def _l2q(a: str, b: str, d: str) -> str:
+    """Integer squared-L2 between quantized vectors (sequential fold)."""
+    diff = f"({K.at(a, 'i', d)} - {K.at(b, 'i', d)})"
+    sq = K.xform(K.seq1(K.asize(a, d), d), f"i -> {diff} * {diff}", d)
+    return K.fold(sq, "cast(0 as bigint)", "(acc, x) -> acc + x", d)
+
+
+def _centroid_update(d: str) -> str:
+    """Rounded integer mean array of a group's ``qv`` column: fold the
+    collected list with elementwise adds (exact), divide by the count,
+    round back to bigint — the Lloyd update, engine-identical."""
+    lst = K.agg_list("qv", d)
+    zeros = K.xform(K.at(lst, "1", d), "x -> cast(0 as bigint)", d)
+    return K.fold(lst, zeros, f"(acc, q) -> {K.zipadd('acc', 'q', d)}", d)
+
+
+def _assign_cte(src: str, cent: str, out_cols: str, rn_cap: int,
+                d: str, extra_where: str = "") -> str:
+    """Nearest-centroid(s) assignment: cross join the tiny centroid table
+    (Spark broadcasts it), rank by integer L2 with cell as tie-break."""
+    return f"""(
+        select {out_cols}, cell from (
+            select s.vec_id as vec_id, s.qv as qv, c.cell as cell,
+                   row_number() over (
+                       partition by s.vec_id
+                       order by {_l2q('s.qv', 'c.qv', d)} asc, c.cell asc
+                   ) as rn
+            from {src} s cross join {cent} c {extra_where}
+        ) t where rn <= {rn_cap}
+    )"""
+
+
+def _ivf_trained_sql(d: str, table: str) -> str:
+    """The whole trained-IVF pipeline as ONE dialect-parameterized SQL
+    text: sampled k-means (2 unrolled Lloyd iterations on a deterministic
+    sample, exact integer math throughout) → full-corpus cell assignment
+    → multi-probe top-k. The Spark query and the DuckDB oracle are the
+    same text modulo dialect, so the quantizer itself is oracle-checked,
+    not just the final search."""
+    vd = K.as_double_array("embedding", d)
+    centroid = _centroid_update(d)
+    mean = K.xform("sum_arr", "s -> cast(round((s * 1.0) / cnt) as bigint)", d)
+    cos = K.cosine("qe.v", "ce.v", d)
+    lloyd = ""
+    prev = "cent0"
+    for it in (1, 2):
+        lloyd += f""",
+        a{it} as {_assign_cte('samp', prev, 'vec_id, qv', 1, d)},
+        c{it}s as (
+            select cell, {centroid} as sum_arr, count(*) as cnt
+            from a{it} group by cell
+        ),
+        cent{it} as (select cell, {mean} as qv from c{it}s)"""
+        prev = f"cent{it}"
+    return f"""
+        with e as (
+            select vec_id, {vd} as v, {_qv(vd, d)} as qv from {table}
+        ),
+        samp as (select vec_id, qv from e where vec_id % {IVF_SAMPLE_STRIDE} = 0),
+        cent0 as (
+            select cell, qv from (
+                select cast(row_number() over (order by vec_id) as int) - 1
+                           as cell,
+                       qv
+                from samp
+            ) t where cell < {IVF_K}
+        ){lloyd},
+        cells as {_assign_cte('e', 'cent2', 'vec_id', 1, d)},
+        probe as {_assign_cte('e', 'cent2', 'vec_id', IVF_NPROBE, d,
+                              f'where s.vec_id % {QUERY_STRIDE} = 0')},
+        scored as (
+            select p.vec_id as query_id, x.vec_id as cand_id, {cos} as cos
+            from probe p
+            join cells x on x.cell = p.cell and x.vec_id <> p.vec_id
+            join e qe on qe.vec_id = p.vec_id
+            join e ce on ce.vec_id = x.vec_id
+        ),
+        ranked as (
+            select query_id, cand_id, cos,
+                   cast(row_number() over (
+                       partition by query_id
+                       order by cos desc, cand_id asc) as int) as rank
+            from scored
+        )
+        select query_id, cand_id, cos, rank from ranked
+        where rank <= {TOP_K}
+    """
+
+
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer — no precomputed
+    ``label`` column (the gap ann_ivf_topk documents): sampled k-means
+    fit in-plan (bounded sample, tiny centroid table that Spark
+    broadcasts on every assignment join), nearest-centroid cell
+    assignment in-scan, ``IVF_NPROBE``-cell probe per query.
+
+    Scale shape: the Lloyd iterations touch only the sample (at 10^12
+    vectors the stride becomes a fixed-size sample, same plan); the
+    full-corpus pass is one broadcast nested-loop against ``IVF_K``
+    rows — scan-local, no shuffle keyed on anything bigger than the
+    final candidate join."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("ivf_embeddings_src")
+    return spark.sql(_ivf_trained_sql(SPARK, "ivf_embeddings_src"))
+
+
+def ann_ivf_trained_oracle() -> str:
+    return _ivf_trained_sql(DUCK, "embeddings")

@@ -26,7 +26,7 @@ Grouping (SURVEY.md §2 ids in parens):
     near-dedup), dedup_incremental (new ingest batch vs corpus via the
     banded sketch join — the streaming ingest filter),
     simhash_fingerprints,
-    ann_bruteforce_topk, ann_ivf_topk,
+    ann_bruteforce_topk, ann_ivf_topk, ann_ivf_trained,
     text_token_stats, text_quality, text_gopher_quality (composite
     Gopher-rule filter), text_repetition (top-bigram ratio),
     text_langid, text_fingerprint
@@ -548,6 +548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": dedup.simhash_fingerprints,
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
+    "ann_ivf_trained": similarity.ann_ivf_trained,
     "text_token_stats": textstats.token_stats,
     "text_quality": textstats.quality_scores,
     "text_langid": textstats.langid_heuristic,
@@ -586,6 +587,7 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
     "ann_ivf_topk": similarity.ann_ivf_topk_oracle(),
+    "ann_ivf_trained": similarity.ann_ivf_trained_oracle(),
     "text_token_stats": textstats.token_stats_oracle(),
     "text_quality": textstats.quality_scores_oracle(),
     "text_langid": textstats.langid_heuristic_oracle(),
