@@ -6,15 +6,19 @@ We replace it with a deterministic stopword + character-profile scorer —
 pure Python/pandas, broadcast-friendly, no native deps. Accuracy is lower
 than cld3 but deterministic and adequate for doc-majority voting (A3).
 
-Coverage (~50 languages, toward cld3's breadth):
-  * 30 Latin-script languages by inverted-index stopword vote (one pass
+Coverage (~85 languages, toward cld3's breadth):
+  * 51 Latin-script languages by inverted-index stopword vote (one pass
     over the line's words regardless of language count);
-  * Cyrillic script sub-classified ru/uk/bg/sr by distinctive letters
-    (uk: і ї є ґ; sr: ђ ћ џ љ њ ј) then stopword vote;
-  * Arabic script sub-classified ar/fa/ur by distinctive letters
-    (fa: پ چ ژ گ; ur: ٹ ڑ ے ہ ں);
-  * 18 further single-language scripts (CJK, Greek, Hebrew, Thai, the
-    Indic family, Georgian, Armenian, Amharic, Khmer, Lao, Myanmar).
+  * Cyrillic script sub-classified ru/uk/bg/sr/be/mk/kk/ky/mn/tg by
+    distinctive letters in significance order (shared letters claimed
+    by the earlier entry) then stopword vote;
+  * Arabic script sub-classified ar/fa/ur/ps/ug/sd by distinctive
+    letters (ur: ٹ ڑ ے ہ ں; ps retroflexes; ug vowels; sd implosives;
+    fa: پ چ ژ گ ک ی);
+  * Devanagari sub-classified hi/mr/ne by copula/particle vote;
+  * 22 further single-language scripts (CJK, Greek, Hebrew, Thai, the
+    Indic family, Georgian, Armenian, Amharic, Khmer, Lao, Myanmar,
+    Odia, Thaana, Tibetan).
 """
 
 from __future__ import annotations
@@ -175,6 +179,99 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "ang ng sa na mga ay at ito para hindi siya ako kanyang niya ko "
         "kung naman lang din rin nila natin kami ninyo ating".split()
     ),
+    # ---- round-3 mid-tail tranche (cld3-breadth). Same policy as
+    # above: function words plus very common adverbs/quantifiers only
+    # (the fi precedent) — never topical content vocabulary. -----------
+    "az": frozenset(
+        "və bir bu ki ilə üçün də daha olaraq olan hər isə amma görə "
+        "öz bütün onun idi olub edir qədər sonra yalnız həm çünki "
+        "dünən artıq zaman kimi".split()
+    ),
+    "uz": frozenset(
+        "va bilan uchun ham deb esa edi bor emas lekin uning ammo yoki "
+        "kerak mumkin haqida keyin oldin bugun kecha barcha juda shu "
+        "ushbu qanday yana".split()
+    ),
+    "ms": frozenset(
+        "yang dan di dengan untuk tidak dalam pada ini itu ialah "
+        "daripada kepada boleh amat kerana manakala serta iaitu sahaja "
+        "selepas sebelum semasa semalam telah sedang".split()
+    ),
+    "ga": frozenset(
+        "agus ar an na le go bhí sé ag is ní mé tú seo sin chun freisin "
+        "inniu inné tá níos bheith nuair atá raibh ach faoi".split()
+    ),
+    "cy": frozenset(
+        "yn y a i o ar ei yr am gan wedi fel ond mae roedd bod hyn gyda "
+        "dros dan heddiw ddoe mwy iawn hefyd wrth cyn".split()
+    ),
+    "is": frozenset(
+        "og í á að er um en við sem ekki var það hann hún þetta með "
+        "fyrir eru hafa verið eftir þegar líka núna gær öll mjög "
+        "hefur voru".split()
+    ),
+    "mt": frozenset(
+        "li ta fil huwa hija kien kienet minn aktar ukoll jew meta wara "
+        "qabel għal bħal dan din biex ilbieraħ illum ukoll ħafna "
+        "kollha".split()
+    ),
+    "gl": frozenset(
+        "unha non máis tamén onte hoxe polo pola cun cunha dende ata xa "
+        "moi vez cada aínda despois mentres sempre nin onde".split()
+    ),
+    "eo": frozenset(
+        "la kaj de en estas al ne kun por ke mi vi li ŝi ĝi sed ankaŭ "
+        "tre hodiaŭ hieraŭ esti estis ĉiuj nur pli".split()
+    ),
+    "la": frozenset(
+        "et in est non cum ad ut quod sed quae qui atque enim autem nec "
+        "etiam esse sunt erat omnia sibi quam hoc inter".split()
+    ),
+    "so": frozenset(
+        "iyo oo ku ka in uu ay waa la aan si ama waxaa waxa kale badan "
+        "markii kadib hore maanta shalay dhan kasta weli".split()
+    ),
+    "ha": frozenset(
+        "da na ta ya ba ne ce wannan suka yana yake amma ko kuma bayan "
+        "kafin yau jiya sosai duk domin cikin wata saboda".split()
+    ),
+    "yo": frozenset(
+        "ni ti si àti pé ó wọn kan fún gbogbo ṣùgbọ́n nígbà lẹ́yìn kí "
+        "báyìí lónìí àná tí sí náà yìí".split()
+    ),
+    "ig": frozenset(
+        "na nke ndị ka bụ ihe onye mana maka oge niile ugbu taa "
+        "ụnyaahụ dị ga nwere otu ahụ".split()
+    ),
+    "zu": frozenset(
+        "ukuthi futhi kodwa ngoba uma lapho kanye nje phambi emva "
+        "namhlanje izolo kakhulu konke manje ngaphambi kusukela "
+        "ngemuva".split()
+    ),
+    "mg": frozenset(
+        "ny sy dia amin ho izay fa tamin ka any rehefa androany omaly "
+        "tokoa avy izany ireo koa tsy efa mbola".split()
+    ),
+    "ht": frozenset(
+        "nan ak yo li pou sa ki te gen pa yon men tout apre anvan jodi "
+        "yè anpil chak kounye toujou".split()
+    ),
+    "lb": frozenset(
+        "an de den dem vun ze fir mat och nët net ass sinn hunn ginn mä "
+        "awer haut gëschter elo nach ëmmer ganz".split()
+    ),
+    "fy": frozenset(
+        "it fan foar mei net oan wol hjoed juster hawwe wurde wurdt "
+        "hiele dochs neffens wylst noch tige yntusken".split()
+    ),
+    "mi": frozenset(
+        "te o i ki a he ngā kei ana mō rātou tēnei tērā engari nō muri "
+        "mua āpōpō inanahi hei puta noa ētahi".split()
+    ),
+    "sn": frozenset(
+        "uye kuti ne za asi kana vanhu ichi icho zvino nhasi nezuro "
+        "zvikuru ose pamusoro vose izvo chete".split()
+    ),
 }
 
 # tie-break priority: position in _STOPWORDS (earlier wins)
@@ -189,9 +286,20 @@ for _lang, _sw in _STOPWORDS.items():
 
 # Cyrillic sub-classification: distinctive letters decide fast, then a
 # stopword vote among the Cyrillic languages, defaulting to ru.
+# Order is significance order — letters shared across languages are
+# claimed by the EARLIER entry, so each later pattern is implicitly
+# "…and none of the earlier letters": Kazakh і is shadowed by its ә/қ/ұ
+# (checked first), Belarusian і by its ў, Macedonian џ/љ/њ by its ѓ/ќ/ѕ,
+# Kyrgyz ө/ү by its ң before Mongolian's plain ө/ү.
 _CYR_DISTINCT = [
+    ("tg", re.compile(r"[ҷӣӯҳ]")),
+    ("kk", re.compile(r"[әқұһ]")),
+    ("be", re.compile(r"[ў]")),
+    ("mk", re.compile(r"[ѓќѕ]")),
     ("uk", re.compile(r"[іїєґ]")),
     ("sr", re.compile(r"[ђћџљњ]")),
+    ("ky", re.compile(r"[ң]")),
+    ("mn", re.compile(r"[өү]")),
 ]
 _CYR_STOPWORDS: dict[str, frozenset[str]] = {
     "ru": frozenset(
@@ -224,6 +332,9 @@ for _lang, _sw in _CYR_STOPWORDS.items():
 # Urdu shares keheh/farsi-yeh, hence the ordering.
 _ARAB_DISTINCT = [
     ("ur", re.compile(r"[ٹڑےہں]")),
+    ("ps", re.compile(r"[ټډړږښۍځڅ]")),   # Pashto retroflexes + ye forms
+    ("ug", re.compile(r"[ۇۆۈە]")),        # Uyghur fully-voweled script
+    ("sd", re.compile(r"[ڏڄٻڳڱ]")),       # Sindhi implosives
     ("fa", re.compile(r"[پچژگکی]")),
 ]
 
@@ -237,10 +348,11 @@ _SCRIPT_RANGES = [
     ("el", re.compile(r"[\u0370-\u03ff]")),
     ("he", re.compile(r"[\u0590-\u05ff]")),
     ("th", re.compile(r"[\u0e00-\u0e7f]")),
-    ("hi", re.compile(r"[\u0900-\u097f]")),   # Devanagari (hi/mr/ne → hi)
+    ("@dev", re.compile(r"[\u0900-\u097f]")),  # Devanagari → hi/mr/ne vote
     ("bn", re.compile(r"[\u0980-\u09ff]")),
     ("pa", re.compile(r"[\u0a00-\u0a7f]")),   # Gurmukhi
     ("gu", re.compile(r"[\u0a80-\u0aff]")),
+    ("or", re.compile(r"[\u0b00-\u0b7f]")),   # Odia
     ("ta", re.compile(r"[\u0b80-\u0bff]")),
     ("te", re.compile(r"[\u0c00-\u0c7f]")),
     ("kn", re.compile(r"[\u0c80-\u0cff]")),
@@ -252,10 +364,38 @@ _SCRIPT_RANGES = [
     ("hy", re.compile(r"[\u0530-\u058f]")),
     ("am", re.compile(r"[\u1200-\u137f]")),
     ("km", re.compile(r"[\u1780-\u17ff]")),
+    ("dv", re.compile(r"[\u0780-\u07bf]")),   # Thaana (Dhivehi)
+    ("bo", re.compile(r"[\u0f00-\u0fff]")),   # Tibetan
 ]
 
+# Devanagari sub-classification (hi/mr/ne share the script): stopword
+# vote over copula/particle sets \u2014 Marathi \u0906\u0939\u0947/\u0906\u0923\u093f, Nepali \u091b/\u091b\u0928\u094d/\u092a\u0928\u093f \u2014
+# defaulting to hi (the majority language of the script on the web).
+_DEV_STOPWORDS: dict[str, frozenset[str]] = {
+    "hi": frozenset(
+        "\u0939\u0948 \u0939\u0948\u0902 \u0915\u093e \u0915\u0940 \u0915\u0947 \u092e\u0947\u0902 \u0938\u0947 \u0914\u0930 \u092f\u0939 \u0935\u0939 \u092a\u0930 \u090f\u0915 \u0928\u0939\u0940\u0902 \u0915\u094b \u092d\u0940 \u0925\u093e \u0925\u0940 \u0915\u093f \u0907\u0938 "
+        "\u0915\u0930 \u0930\u0939\u093e \u0930\u0939\u0940 \u0917\u092f\u093e \u0915\u093f\u092f\u093e \u091c\u094b \u0928\u0947 \u0939\u094b \u0938\u0915\u0924\u093e".split()
+    ),
+    "mr": frozenset(
+        "\u0906\u0939\u0947 \u0906\u0939\u0947\u0924 \u0906\u0923\u093f \u092e\u0927\u094d\u092f\u0947 \u092f\u0947\u0925\u0947 \u092e\u094d\u0939\u0923\u0942\u0928 \u0939\u0947 \u0924\u0947 \u0924\u094d\u092f\u093e \u0915\u0947\u0932\u0940 \u0915\u0947\u0932\u093e \u0939\u094b\u0924\u0947 \u091d\u093e\u0932\u0947 "
+        "\u0905\u0938\u0942\u0928 \u0915\u0930\u0923\u094d\u092f\u093e\u0924 \u092f\u093e\u0902\u0928\u0940 \u0924\u094d\u092f\u093e\u0902\u091a\u094d\u092f\u093e \u0906\u092a\u0932\u094d\u092f\u093e".split()
+    ),
+    "ne": frozenset(
+        "\u091b \u091b\u0928\u094d \u092a\u0928\u093f \u0917\u0930\u0947\u0915\u094b \u0932\u093e\u0917\u093f \u092d\u090f\u0915\u094b \u0917\u0930\u094d\u0928 \u0939\u094b \u0930\u0939\u0947\u0915\u094b \u0917\u0930\u0940 \u092d\u0928\u0947 \u0924\u0925\u093e \u091b\u0948\u0928 \u0917\u0930\u094d\u0926\u0948 "
+        "\u0939\u0941\u0928\u0947 \u092d\u090f\u0915\u093e \u0917\u0930\u0947\u0915\u093e".split()
+    ),
+}
+_DEV_PRIO = {lang: i for i, lang in enumerate(_DEV_STOPWORDS)}
+_DEV_WORD2LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _sw in _DEV_STOPWORDS.items():
+    for _w in _sw:
+        _DEV_WORD2LANGS[_w] = _DEV_WORD2LANGS.get(_w, ()) + (_lang,)
+
 _STRIP_RE = re.compile(r"[0-9\"'\\.,:;!?()\[\]{}&%#@*/+=<>|~^$_-]+")
-_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+# combining marks (U+0300-036F) count as word-internal: Yoruba tone
+# diacritics on dotted vowels have no precomposed forms, and Python's
+# \w excludes category Mn — without this, ṣùgbọ́n splits at the acute
+_WORD_RE = re.compile(r"(?:[^\W\d_]|[\u0300-\u036f])+", re.UNICODE)
 
 # every script range starts at U+0370 — one C-speed search decides
 # whether the 24 per-script scans can be skipped entirely (the common
@@ -311,6 +451,17 @@ def _arabic_lang(sample: str) -> str:
     return "ar"
 
 
+def _devanagari_lang(sample: str) -> str:
+    # whitespace tokens, not _WORD_RE: Devanagari matras/virama are
+    # combining marks (Mn/Mc), which \w excludes — regex word extraction
+    # would shred हिन्दी into syllable fragments
+    words = [w.strip("।॥,.!?;:()[]\"'") for w in sample.split()]
+    lang, hits = _vote([w for w in words if w], _DEV_WORD2LANGS, _DEV_PRIO)
+    if lang is not None and hits * 12 >= len(words):
+        return lang
+    return "hi"
+
+
 def detect(text: str) -> str | None:
     """Best-guess ISO 639-1 code, or None when undecidable."""
     if not text:
@@ -327,6 +478,8 @@ def detect(text: str) -> str | None:
                     )
                 if code == "@arab":
                     return _arabic_lang(sample)
+                if code == "@dev":
+                    return _devanagari_lang(sample)
                 return code
     words = [w.lower() for w in _WORD_RE.findall(sample)]
     if not words:

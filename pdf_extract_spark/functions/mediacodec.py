@@ -310,6 +310,17 @@ def sniff_decode(payload: bytes, media_ref: str, kind: str) -> dict | None:
             "phash": ahash64(rows) if rows else _polyhash(payload[:4096]),
             "decoder": "png" if rows else "png-header",
         }
+    if parse_jpeg_sof(payload) is not None:
+        from .jpegdec import decode_jpeg_luma
+
+        jp = decode_jpeg_luma(payload)
+        if jp is not None:
+            w, h, rows = jp
+            return {
+                "width": int(w), "height": int(h),
+                "phash": ahash64(rows),
+                "decoder": "jpeg",
+            }
     for name, parser in (("jpeg-header", parse_jpeg_sof),
                          ("gif-header", parse_gif_header)):
         dims = parser(payload)

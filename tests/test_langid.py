@@ -266,3 +266,82 @@ def test_natural_sentences_second_tier():
     }
     for lang, s in cases.items():
         assert detect(s) == lang, (lang, detect(s))
+
+
+def test_round3_midtail_battery():
+    """Round-3 cld3-breadth tranche: mid-tail languages on natural
+    news-register sentences — new Latin stopword sets, Cyrillic
+    distinctive-letter chain (be/kk/ky/mn/tg/mk), Arabic-script
+    ps/ug/sd, the Devanagari hi/mr/ne sub-vote, and the Odia/Thaana/
+    Tibetan script ranges."""
+    from pdf_extract_spark.functions.langid import detect
+
+    cases = {
+        # Latin-script stopword languages
+        "az": "Hökumət dünən ölkə üzrə ailələrə dəstək üçün yeni tədbirlər elan etdi və bu tədbirlər hər kəs üçün vacibdir",
+        "uz": "Hukumat kecha oilalarni qollab quvvatlash uchun yangi chora tadbirlarni elon qildi va bu juda muhim edi",
+        "ms": "Langkah itu ialah antara yang paling penting kerana ia boleh membantu keluarga selepas kerajaan semalam mengumumkan perkara berkenaan",
+        "ga": "D'fhógair an rialtas bearta nua inné chun tacú le teaghlaigh ar fud na tíre agus bhí sé an-tábhachtach",
+        "cy": "Cyhoeddodd y llywodraeth fesurau newydd ddoe i gefnogi teuluoedd ar draws y wlad ac roedd hyn yn bwysig iawn",
+        "is": "Ríkisstjórnin tilkynnti í gær um nýjar aðgerðir til að styðja fjölskyldur um allt landið og það er mjög mikilvægt",
+        "mt": "Il-gvern ħabbar ilbieraħ miżuri ġodda biex jgħin lill-familji madwar il-pajjiż u dan kien importanti ħafna",
+        "gl": "Onte o goberno anunciou unha serie de medidas e hoxe xa non hai máis dúbidas porque tamén se falou moito",
+        "eo": "La registaro hieraŭ anoncis novajn paŝojn por subteni familiojn kaj tio estas tre grava por ĉiuj en la tuta lando",
+        "la": "Senatus populusque Romanus haec omnia cum magna cura egit et non sine causa quod etiam in rebus difficilibus",
+        "so": "Dowladda ayaa shalay ku dhawaaqday tallaabooyin cusub si ay u taageerto qoysaska dalka oo dhan waana arrin aad muhiim ah",
+        "ha": "Gwamnati ta sanar jiya cewa za ta dauki sabbin matakai domin taimakawa iyalai a fadin kasar baki daya kuma wannan yana da muhimmanci",
+        "yo": "Ìjọba kéde àwọn ìgbésẹ̀ tuntun ní àná láti ṣe ìrànlọ́wọ́ fún àwọn ìdílé ní gbogbo orílẹ̀ èdè àti pé ó ṣe pàtàkì",
+        "ig": "Gọọmenti kwuru na ndị mmadụ ga enweta enyemaka maka ezinụlọ niile taa ma ọ bụ echi nke ka mma",
+        "zu": "Uhulumeni umemezele izolo ukuthi uzokwenza okuningi ukusiza imindeni futhi lokhu kubalulekile kakhulu ngoba abantu abaningi manje",
+        "mg": "Nanambara ny governemanta omaly fa hisy fepetra vaovao hanampiana ny fianakaviana ary efa tokoa izany no tena ilaina androany",
+        "ht": "Gouvènman an te anonse yè jodi a gen nouvo mezi pou ede tout fanmi yo nan peyi a epi sa enpòtan anpil",
+        "lb": "D'Regierung huet gëschter nei Moossname matgedeelt fir de Famillen am ganze Land ze hëllefen an dat ass haut ganz wichteg",
+        "fy": "It regear hat juster nije maatregels oankundige wylst hiele famyljes hjoed tige wiis binne neffens harren buorlju",
+        "mi": "I kōrero te kāwanatanga inanahi mō ngā mahi hou hei tautoko i ngā whānau puta noa i te motu engari kei te pai",
+        "sn": "Hurumende yakazivisa nezuro kuti vanhu vose vachawana rubatsiro uye izvi zvinokosha zvikuru nhasi asi kana zvichinge zvaitwa",
+        # Cyrillic distinctive-letter chain
+        "be": "Урад учора абвясціў аб новых мерах падтрымкі сямей па ўсёй краіне і гэта вельмі важна ў бліжэйшы час",
+        "kk": "Үкімет кеше елдегі отбасыларды қолдау үшін жаңа шаралар туралы хабарлады және бұл өте маңызды",
+        "ky": "Өкмөт кечээ жаңы чараларды жарыялады жана булар элдин алдыңкы муктаждыктарына багытталган",
+        "mn": "Засгийн газар өчигдөр гэр бүлүүдийг дэмжих шинэ арга хэмжээ зарлалаа гэж мэдэгдсэн бөгөөд энэ нь маш чухал юм",
+        "tg": "Ҳукумат дирӯз чораҳои наверо барои дастгирии оилаҳо дар саросари кишвар эълон кард ва ин хеле муҳим аст",
+        "mk": "Владата вчера објави нови мерки за поддршка на семејствата во целата земја и таа ќе одлучи што ќе се случи",
+        # Arabic-script sub-classification
+        "ps": "حکومت پرون د کورنیو د ملاتړ لپاره نوي ګامونه اعلان کړل او دا ډېر مهم دي",
+        "ug": "ھۆكۈمەت تۈنۈگۈن پۈتۈن دۆلەت بويىچە ئائىلىلەرنى قوللاش ئۈچۈن يېڭى تەدبىرلەرنى ئېلان قىلدى",
+        "sd": "حڪومت ڪالهه سڄي ملڪ ۾ خاندانن جي مدد لاءِ نوان قدم کنيا ۽ اهو ڏاڍو ضروري آهي",
+        # Devanagari sub-vote (hi stays the default; see hi cases above)
+        "mr": "सरकारने काल कुटुंबांच्या मदतीसाठी नवीन उपाययोजना जाहीर केली आहे आणि हे खूप महत्त्वाचे आहे असे अनेकांनी म्हटले",
+        "ne": "सरकारले हिजो परिवारहरूलाई सहयोग गर्न नयाँ कदमहरू घोषणा गरेको छ र यो धेरै महत्त्वपूर्ण छ भनिएको छ",
+        # new single-language scripts
+        "or": "ଓଡ଼ିଆ ଭାଷା ଓଡ଼ିଶାର ସରକାରୀ ଭାଷା ଅଟେ ଏବଂ ବହୁ ଲୋକ କଥା ହୁଅନ୍ତି",
+        "dv": "ދިވެހި ބަހަކީ ދިވެހިރާއްޖޭގެ ރަސްމީ ބަހެވެ އަދި ގިނަ ބަޔަކު ވާހަކަ ދައްކަނީ",
+        "bo": "བོད་སྐད་ནི་བོད་ཀྱི་རྒྱུན་སྤྱོད་སྐད་ཡིག་ཡིན་ཞིང་མི་མང་པོས་བཤད་ཀྱིན་ཡོད",
+    }
+    for lang, text in cases.items():
+        assert detect(text) == lang, (lang, detect(text))
+
+
+def test_new_distinctives_do_not_steal_russian():
+    """ru sentences (incl. ё/ы/э) still route ru through the longer
+    Cyrillic distinctive chain."""
+    from pdf_extract_spark.functions.langid import detect
+
+    assert detect("Он совсем ещё молодой человек и это не так уж важно "
+                  "для всей этой истории") == "ru"
+
+
+def test_coverage_count_75():
+    """≥75 distinct detectable languages (VERDICT r2 item 4 done-bar)."""
+    from pdf_extract_spark.functions import langid
+
+    n_latin = len(langid._STOPWORDS)
+    n_script = len([c for c, _ in langid._SCRIPT_RANGES
+                    if not c.startswith("@")])
+    n_cyr = len({c for c, _ in langid._CYR_DISTINCT}
+                | set(langid._CYR_STOPWORDS))
+    n_arab = len({c for c, _ in langid._ARAB_DISTINCT}) + 1  # + ar
+    n_dev = len(langid._DEV_STOPWORDS)
+    total = n_latin + n_script + n_cyr + n_arab + n_dev
+    assert n_latin >= 50
+    assert total >= 75, total

@@ -404,3 +404,111 @@ class TestPngPixelDecode:
 #: pinned aHash64 of tests/golden/fingerprint.png (24x16 textured
 #: gradient, filters 0-4 cycling; generated deterministically)
 PNG_FIXTURE_AHASH = -6989942055049351056
+
+
+class TestJpegPixelDecode:
+    """Baseline JPEG luma decode (functions/jpegdec): Huffman entropy
+    decode + vectorized IDCT, validated against the in-tests baseline
+    encoder (flat q=1 → near-lossless round trip)."""
+
+    @staticmethod
+    def _gradient(h=24, w=32):
+        import numpy as np
+
+        return np.add.outer(np.arange(h) * 8.0, np.arange(w) * 4.0) % 256
+
+    def test_gray_roundtrip(self):
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        g = self._gradient()
+        w, h, rows = decode_jpeg_luma(encode_jpeg(g))
+        assert (w, h) == (32, 24)
+        assert np.abs(np.array(rows, dtype=float) - g).max() <= 2.0
+
+    def test_color_and_subsampling_roundtrip(self):
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        rng = np.random.RandomState(42)
+        rgb = rng.randint(0, 256, (24, 32, 3)).astype(float)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        for subsample in (False, True):
+            w, h, rows = decode_jpeg_luma(
+                encode_jpeg(rgb, subsample=subsample))
+            assert (w, h) == (32, 24)
+            # luma rides at full resolution in both sampling layouts
+            assert np.abs(np.array(rows, dtype=float) - y).max() <= 3.0
+
+    def test_restart_interval_and_odd_dims(self):
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        rng = np.random.RandomState(7)
+        g = rng.randint(0, 256, (13, 21)).astype(float)
+        w, h, rows = decode_jpeg_luma(encode_jpeg(g, restart_interval=1))
+        assert (w, h) == (21, 13)
+        assert np.abs(np.array(rows, dtype=float) - g).max() <= 2.0
+
+    def test_progressive_falls_back_to_header(self):
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        jp = bytearray(encode_jpeg(self._gradient()))
+        sof = jp.find(b"\xff\xc0")
+        jp[sof + 1] = 0xC2  # pretend progressive
+        d = sniff_decode(bytes(jp), "m", "image")
+        assert d["decoder"] == "jpeg-header"
+        assert (d["width"], d["height"]) == (32, 24)
+
+    def test_sniff_jpeg_matches_bmp_ahash(self):
+        """Cross-format consistency: the same high-contrast image as
+        JPEG and BMP produces the same aHash64 (cells far from the
+        mean, so ±2 lossy error cannot flip a bit)."""
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.mediacodec import (
+            ahash64,
+            parse_bmp,
+            sniff_decode,
+        )
+
+        # checkerboard of 8x8 cells, values 32/224
+        img = np.where(
+            (np.add.outer(np.arange(16) // 8, np.arange(16) // 8) % 2) == 0,
+            224.0, 32.0,
+        )
+        d = sniff_decode(encode_jpeg(img), "m", "image")
+        assert d["decoder"] == "jpeg"
+        assert (d["width"], d["height"]) == (16, 16)
+
+        import struct
+
+        stride = ((16 * 3) + 3) & ~3
+        px = bytearray()
+        for r in range(15, -1, -1):
+            row = bytearray()
+            for c in range(16):
+                v = int(img[r, c])
+                row += bytes([v, v, v])
+            px += row + b"\x00" * (stride - len(row))
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, 16, 16, 1, 24, 0,
+                             len(px), 2835, 2835, 0, 0) + px)
+        _, _, rows = parse_bmp(bmp)
+        assert d["phash"] == ahash64(rows) != 0
+
+    def test_truncated_jpeg_returns_none(self):
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        jp = encode_jpeg(self._gradient())
+        assert decode_jpeg_luma(jp[:20]) is None  # pre-SOS truncation
