@@ -202,6 +202,125 @@ def parse_gif_header(b: bytes) -> tuple[int, int] | None:
     return w, h
 
 
+def parse_gif_pixels(b: bytes):
+    """(width, height, grayscale_rows | None): full first-frame decode
+    for GIF87a/89a — LZW decompression (variable code width, clear/EOI
+    codes, sub-block framing) + palette → luma, including Adam-less GIF
+    4-pass interlacing.  Frames that don't cover the whole logical
+    screen (animation deltas) return dims with ``None`` pixels."""
+    hdr = parse_gif_header(b)
+    if hdr is None:
+        return None
+    w, h = hdr
+    if w * h > 1 << 24:
+        return w, h, None
+    try:
+        flags = b[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = b[pos: pos + 3 * n]
+            pos += 3 * n
+        # walk blocks to the first image descriptor
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:
+                break
+            else:
+                return w, h, None  # trailer or junk before any frame
+        if pos >= len(b) or b[pos] != 0x2C:
+            return w, h, None
+        fx, fy, fw, fh = struct.unpack("<HHHH", b[pos + 1: pos + 9])
+        iflags = b[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            pal = b[pos: pos + 3 * n]
+            pos += 3 * n
+        if pal is None or (fx, fy, fw, fh) != (0, 0, w, h):
+            return w, h, None
+        interlaced = bool(iflags & 0x40)
+
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            size = b[pos]
+            data += b[pos + 1: pos + 1 + size]
+            pos += 1 + size
+
+        # LZW decode
+        clear = 1 << min_code
+        eoi = clear + 1
+        code_size = min_code + 1
+        dict_: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        out = bytearray()
+        prev = None
+        acc = 0
+        nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= code_size:
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    dict_ = [bytes([i]) for i in range(clear)] + [b"", b""]
+                    code_size = min_code + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    nbits = 0
+                    break
+                if prev is None:
+                    entry = dict_[code]
+                else:
+                    if code < len(dict_):
+                        entry = dict_[code]
+                        dict_.append(prev + entry[:1])
+                    else:  # the KwKwK case
+                        entry = prev + prev[:1]
+                        dict_.append(entry)
+                    if (len(dict_) == (1 << code_size)
+                            and code_size < 12):
+                        code_size += 1
+                out += entry
+                prev = entry
+            if len(out) >= w * h:
+                break
+        if len(out) < w * h:
+            return w, h, None
+
+        npal = len(pal) // 3
+        luma = [
+            (pal[3 * i] * 299 + pal[3 * i + 1] * 587
+             + pal[3 * i + 2] * 114) // 1000 if i < npal else 0
+            for i in range(256)
+        ]
+        flat = [luma[v] for v in out[: w * h]]
+        if not interlaced:
+            return w, h, [flat[r * w: (r + 1) * w] for r in range(h)]
+        rows: list[list[int] | None] = [None] * h
+        src = 0
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for r in range(start, h, step):
+                rows[r] = flat[src * w: (src + 1) * w]
+                src += 1
+        if any(r is None for r in rows):
+            return w, h, None
+        return w, h, rows
+    except (IndexError, struct.error):
+        return w, h, None
+
+
 # -- BMP (real pixel decode for uncompressed 24/32-bit) ---------------------
 
 
@@ -321,15 +440,21 @@ def sniff_decode(payload: bytes, media_ref: str, kind: str) -> dict | None:
                 "phash": ahash64(rows),
                 "decoder": "jpeg",
             }
-    for name, parser in (("jpeg-header", parse_jpeg_sof),
-                         ("gif-header", parse_gif_header)):
-        dims = parser(payload)
-        if dims is not None:
-            return {
-                "width": int(dims[0]), "height": int(dims[1]),
-                "phash": _polyhash(payload[:4096]),
-                "decoder": name,
-            }
+    gif = parse_gif_pixels(payload)
+    if gif is not None:
+        w, h, rows = gif
+        return {
+            "width": int(w), "height": int(h),
+            "phash": ahash64(rows) if rows else _polyhash(payload[:4096]),
+            "decoder": "gif" if rows else "gif-header",
+        }
+    dims = parse_jpeg_sof(payload)
+    if dims is not None:
+        return {
+            "width": int(dims[0]), "height": int(dims[1]),
+            "phash": _polyhash(payload[:4096]),
+            "decoder": "jpeg-header",
+        }
     wav = parse_wav(payload)
     if wav is not None:
         rate, channels, n_frames = wav

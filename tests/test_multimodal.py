@@ -512,3 +512,121 @@ class TestJpegPixelDecode:
 
         jp = encode_jpeg(self._gradient())
         assert decode_jpeg_luma(jp[:20]) is None  # pre-SOS truncation
+
+
+class TestGifPixelDecode:
+    """GIF first-frame LZW decode: lossless round trip against a
+    minimal in-test encoder (per-pixel codes with periodic clear codes
+    — a valid LZW stream), interlacing, and cross-format aHash."""
+
+    @staticmethod
+    def _gif(pixels, interlaced=False):
+        """pixels: list of rows of 0-255 indices; palette i -> (i,i,i)."""
+        import struct
+
+        h = len(pixels)
+        w = len(pixels[0])
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+        for i in range(256):
+            out += bytes([i, i, i])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlaced else 0x00])
+
+        rows = list(pixels)
+        if interlaced:
+            order = ([r for r in range(0, h, 8)] + [r for r in range(4, h, 8)]
+                     + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)])
+            rows = [pixels[r] for r in order]
+        flat = [v for row in rows for v in row]
+
+        min_code = 8
+        clear, eoi = 256, 257
+        codes = []
+        for i, v in enumerate(flat):
+            if i % 250 == 0:
+                codes.append(clear)  # keep the dict small: 9-bit codes only
+            codes.append(v)
+        codes.append(eoi)
+        acc = nbits = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i: i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    @staticmethod
+    def _gradient_rows(h=24, w=32):
+        return [[(r * 8 + c * 4) % 256 for c in range(w)] for r in range(h)]
+
+    def test_gif_lossless_roundtrip(self):
+        from pdf_extract_spark.functions.mediacodec import parse_gif_pixels
+
+        px = self._gradient_rows()
+        w, h, rows = parse_gif_pixels(self._gif(px))
+        assert (w, h) == (32, 24)
+        assert rows == px  # grayscale palette -> exact round trip
+
+    def test_gif_interlaced_roundtrip(self):
+        from pdf_extract_spark.functions.mediacodec import parse_gif_pixels
+
+        px = self._gradient_rows(17, 9)  # odd dims exercise pass math
+        w, h, rows = parse_gif_pixels(self._gif(px, interlaced=True))
+        assert (w, h) == (9, 17)
+        assert rows == px
+
+    def test_gif_sniff_matches_bmp_ahash(self):
+        import struct
+
+        from pdf_extract_spark.functions.mediacodec import (
+            ahash64,
+            parse_bmp,
+            sniff_decode,
+        )
+
+        px = [[224 if ((r // 8 + c // 8) % 2 == 0) else 32
+               for c in range(16)] for r in range(16)]
+        d = sniff_decode(self._gif(px), "m", "image")
+        assert d["decoder"] == "gif"
+        stride = ((16 * 3) + 3) & ~3
+        raw = bytearray()
+        for r in range(15, -1, -1):
+            row = bytearray()
+            for c in range(16):
+                v = px[r][c]
+                row += bytes([v, v, v])
+            raw += row + b"\x00" * (stride - len(row))
+        bmp = (b"BM" + struct.pack("<IHHI", 54 + len(raw), 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, 16, 16, 1, 24, 0,
+                             len(raw), 2835, 2835, 0, 0) + raw)
+        _, _, rows = parse_bmp(bmp)
+        assert d["phash"] == ahash64(rows) != 0
+
+    def test_gif_partial_frame_falls_back(self):
+        """An animation-delta frame (not covering the screen) keeps the
+        header-dims fallback."""
+        import struct
+
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        g = bytearray(self._gif(self._gradient_rows(8, 8)))
+        # shrink the image descriptor to a 4x4 sub-frame at (2,2);
+        # descriptor sits right after header(13) + 256-entry GCT(768)
+        idx = 13 + 768
+        assert g[idx] == 0x2C
+        g[idx + 1: idx + 9] = struct.pack("<HHHH", 2, 2, 4, 4)
+        d = sniff_decode(bytes(g), "m", "image")
+        assert d["decoder"] == "gif-header"
+        assert (d["width"], d["height"]) == (8, 8)
