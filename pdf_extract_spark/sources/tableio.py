@@ -68,24 +68,69 @@ class TableIO:
                 except Exception:
                     writer.create()
             return run_id
+        before = self._data_files(ref)
         df.write.mode(mode).parquet(ref)
-        self._append_manifest(ref, run_id)
+        added = sorted(self._data_files(ref) - (
+            set() if mode == "overwrite" else before
+        ))
+        self._append_manifest(ref, run_id, added,
+                              reset=(mode == "overwrite"))
         return run_id
+
+    def read_asof(self, ref: str, snapshot_id: str) -> DataFrame:
+        """Time-travel read: the table as of (and including) a committed
+        snapshot — Iceberg's ``VERSION AS OF`` on the catalog backend;
+        on the parquet backend, the union of every snapshot's recorded
+        data files up to the requested one (each manifest row carries
+        the files its commit added, so older snapshots stay readable
+        after later appends — the same mechanics as an Iceberg
+        manifest list)."""
+        if _has_iceberg_catalog(self.spark, ref):
+            return (
+                self.spark.read.option("snapshot-id", snapshot_id)
+                .table(ref)
+            )
+        files: list[str] = []
+        found = False
+        for row in self._manifest_rows(ref):
+            files.extend(row.get("files", []))
+            if row["snapshot_id"] == snapshot_id:
+                found = True
+                break
+        if not found:
+            raise ValueError(
+                f"snapshot {snapshot_id!r} not in {ref}/_snapshots.jsonl")
+        if not files:
+            return self.spark.read.parquet(ref).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(ref, f) for f in files])
 
     # -- parquet-backend snapshot manifest ----------------------------------
     def _manifest_path(self, ref: str) -> str:
         return os.path.join(ref, "_snapshots.jsonl")
 
-    def _append_manifest(self, ref: str, run_id: str) -> None:
-        # Manifest rows mirror Iceberg snapshot metadata (documented delta:
-        # no atomic swap; commit order is append order).
-        os.makedirs(ref, exist_ok=True)
-        with open(self._manifest_path(ref), "a") as fh:
-            fh.write(json.dumps({"snapshot_id": run_id}) + "\n")
+    def _data_files(self, ref: str) -> set[str]:
+        if not os.path.isdir(ref):
+            return set()
+        return {f for f in os.listdir(ref) if f.endswith(".parquet")}
 
-    def snapshots(self, ref: str) -> list[str]:
+    def _append_manifest(self, ref: str, run_id: str,
+                         files: list[str] | None = None,
+                         reset: bool = False) -> None:
+        # Manifest rows mirror Iceberg snapshot metadata (documented delta:
+        # no atomic swap; commit order is append order). Each row records
+        # the data files its commit added — the time-travel source.
+        os.makedirs(ref, exist_ok=True)
+        row = json.dumps({"snapshot_id": run_id, "files": files or []})
+        with open(self._manifest_path(ref), "w" if reset else "a") as fh:
+            fh.write(row + "\n")
+
+    def _manifest_rows(self, ref: str) -> list[dict]:
         path = self._manifest_path(ref)
         if not os.path.exists(path):
             return []
         with open(path) as fh:
-            return [json.loads(line)["snapshot_id"] for line in fh if line.strip()]
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def snapshots(self, ref: str) -> list[str]:
+        return [r["snapshot_id"] for r in self._manifest_rows(ref)]

@@ -212,38 +212,62 @@ _DEDUP_OUT = StructType(
 _DEDUP_STATE = StructType([StructField("n_seen", LongType())])
 
 
-def _dedup_group(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """First-seen-wins exact dedup: the first micro-batch in which a
-    content hash appears emits ONE canonical row (min doc_id within
-    that batch, deterministic); every later arrival is swallowed and
-    counted. The streaming twin of dedup_exact + dedup_keep_canonical:
-    state is one counter per distinct hash, sharded by the groupBy —
-    bounded by corpus cardinality, not stream length."""
-    chunks = list(pdfs)
-    rows = pd.concat(chunks) if chunks else pd.DataFrame({"doc_id": []})
-    existed = state.exists
-    n = state.get[0] if existed else 0
-    state.update((n + len(rows),))
-    if not existed and len(rows):
-        first_id = int(rows["doc_id"].min())
-        yield pd.DataFrame([{"doc_id": first_id, "text_md5": key[0]}])
+def _make_dedup_group(state_ttl_ms: int | None):
+    def _dedup_group(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """First-seen-wins exact dedup: the first micro-batch in which a
+        content hash appears emits ONE canonical row (min doc_id within
+        that batch, deterministic); every later arrival is swallowed and
+        counted. The streaming twin of dedup_exact +
+        dedup_keep_canonical: state is one counter per distinct hash,
+        sharded by the groupBy — bounded by corpus cardinality, not
+        stream length. With a TTL, idle hashes are retired (the key may
+        re-emit after expiry — the documented recall/state tradeoff for
+        unbounded-cardinality streams)."""
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        chunks = list(pdfs)
+        rows = pd.concat(chunks) if chunks else pd.DataFrame({"doc_id": []})
+        existed = state.exists
+        n = state.get[0] if existed else 0
+        state.update((n + len(rows),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if not existed and len(rows):
+            first_id = int(rows["doc_id"].min())
+            yield pd.DataFrame([{"doc_id": first_id, "text_md5": key[0]}])
+
+    return _dedup_group
 
 
-def dedup_docs_stream(docs: DataFrame) -> DataFrame:
+def dedup_docs_stream(docs: DataFrame,
+                      state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming ingest dedup over (doc_id, text): emits the canonical
     (first-seen) doc per exact-content hash; duplicates arriving in any
-    later micro-batch are dropped by keyed state."""
+    later micro-batch are dropped by keyed state.  ``state_ttl_ms``
+    retires hashes idle for that long (processing-time timeout) —
+    bounded state for streams whose distinct-hash cardinality is itself
+    unbounded, at the cost that a duplicate arriving after expiry
+    re-emits as canonical.
+
+    Deployment note: use the TTL only with continuous triggers. Under
+    ``trigger(availableNow=True)`` pending processing-time timers keep
+    the query scheduling empty micro-batches, so a drain-and-stop
+    harness never terminates (observed on Spark 4.1)."""
     hashed = docs.select(
         "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_md5")
     )
     return hashed.groupBy("text_md5").applyInPandasWithState(
-        _dedup_group,
+        _make_dedup_group(state_ttl_ms),
         outputStructType=_DEDUP_OUT,
         stateStructType=_DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -109,3 +109,19 @@ def test_extraction_plan_is_narrow(spark):
     plan = _physical(extract_spans(df))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_ivf_trained_plan_shape(spark):
+    """ann_ivf_trained: every nested-loop join in the plan is against
+    the IVF_K-row centroid side (broadcast — the intended tiny cross
+    join), no Python eval nodes, and no CartesianProduct (the full
+    corpus never cross-joins itself)."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["ann_ivf_trained"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the centroid cross joins must be broadcast nested loops (8-row
+    # build side), never a shuffled cartesian of the corpus
+    assert "BroadcastNestedLoopJoin" in plan

@@ -292,6 +292,33 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     batch_ids = {r.rep for r in batch.collect()}
     assert kept_ids == batch_ids
 
+    # with a generous state TTL the result is identical (the timeout
+    # plumbing — ProcessingTimeTimeout + setTimeoutDuration + timed-out
+    # removal — must not change semantics inside its window). NOT run
+    # with availableNow: pending processing-time timers keep that
+    # trigger scheduling empty batches forever (see dedup_docs_stream
+    # docstring) — drain with a continuous trigger and stop manually.
+    import time
+
+    q = (
+        dedup_docs_stream(sdf, state_ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_ttl_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            got = {r.doc_id
+                   for r in spark.table("dedup_stream_ttl_t").collect()}
+            if got == batch_ids:
+                break
+            time.sleep(1.0)
+        assert got == batch_ids
+    finally:
+        q.stop()
+
 
 def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
     """Stream-static near-dup: new docs streamed against the corpus
