@@ -457,15 +457,66 @@ class TestJpegPixelDecode:
         assert (w, h) == (21, 13)
         assert np.abs(np.array(rows, dtype=float) - g).max() <= 2.0
 
-    def test_progressive_falls_back_to_header(self):
+    def test_malformed_progressive_falls_back_to_header(self):
+        """A baseline stream relabeled SOF2 has an invalid progressive
+        scan header (ss=0 with se=63) — decode refuses, sniff falls
+        back to header dims."""
         from jpeg_encoder import encode_jpeg
         from pdf_extract_spark.functions.mediacodec import sniff_decode
 
         jp = bytearray(encode_jpeg(self._gradient()))
         sof = jp.find(b"\xff\xc0")
-        jp[sof + 1] = 0xC2  # pretend progressive
+        jp[sof + 1] = 0xC2
         d = sniff_decode(bytes(jp), "m", "image")
         assert d["decoder"] == "jpeg-header"
+        assert (d["width"], d["height"]) == (32, 24)
+
+    def test_progressive_roundtrips(self):
+        """Real progressive streams (DC first/refine, per-component AC
+        first with EOB runs, AC refinement with correction bits)
+        decode to the same pixels as their source."""
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg_progressive
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        g = self._gradient()
+        w, h, rows = decode_jpeg_luma(encode_jpeg_progressive(g))
+        assert (w, h) == (32, 24)
+        assert np.abs(np.array(rows, float) - g).max() <= 2.0
+
+        rng = np.random.RandomState(42)
+        rgb = rng.randint(0, 256, (24, 32, 3)).astype(float)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        for sub in (False, True):
+            w, h, rows = decode_jpeg_luma(
+                encode_jpeg_progressive(rgb, subsample=sub))
+            assert (w, h) == (32, 24)
+            assert np.abs(np.array(rows, float) - y).max() <= 3.0
+
+    def test_progressive_sparse_long_eob_runs(self):
+        """A nearly-flat image batches long EOB runs across blocks in
+        both the AC-first and AC-refinement scans."""
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg_progressive
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        sp = np.full((40, 48), 128.0)
+        sp[12, 17] = 250.0
+        sp[30, 5] = 10.0
+        w, h, rows = decode_jpeg_luma(encode_jpeg_progressive(sp))
+        assert (w, h) == (48, 40)
+        assert np.abs(np.array(rows, float) - sp).max() <= 2.0
+
+    def test_progressive_sniff_decoder_tag(self):
+        from jpeg_encoder import encode_jpeg_progressive
+        from pdf_extract_spark.functions.mediacodec import sniff_decode
+
+        d = sniff_decode(encode_jpeg_progressive(self._gradient()),
+                         "m", "image")
+        assert d["decoder"] == "jpeg"
         assert (d["width"], d["height"]) == (32, 24)
 
     def test_sniff_jpeg_matches_bmp_ahash(self):
