@@ -1,16 +1,20 @@
-"""Stdlib-only media decoders for the multimodal pipeline.
+"""Stdlib(+numpy) media decoders for the multimodal pipeline.
 
-The sandbox (and a minimal cluster image) has no PIL/libav, but several
-formats need none: BMP pixel decode (uncompressed 24/32-bit) with a real
-8×8 average-hash, container-header dimension parsing for PNG/JPEG/GIF,
-and WAV audio via the stdlib ``wave`` module. Everything here validates
-strictly and returns ``None`` on any mismatch, so the multimodal
-dispatcher falls back to the deterministic stub for payloads these
-parsers don't cover (the compressed-pixel formats that do need PIL).
+The sandbox (and a minimal cluster image) has no PIL/libav, but the
+whole static web-image family needs none: full pixel decode with a
+real 8×8 average-hash for BMP (uncompressed 8/24/32-bit), PNG (zlib
+IDAT + all five scanline filters + Adam7 interlacing), JPEG (baseline
+AND progressive — see ``jpegdec``), and GIF (first-frame LZW incl.
+interlacing); WAV audio via the stdlib ``wave`` module. Everything
+here validates strictly and returns ``None`` on any mismatch, so the
+multimodal dispatcher falls back to the deterministic stub for
+payloads these parsers don't cover.
 
 Feature mapping into the fixed FEATURE_SCHEMA:
-  * images: width/height = pixel dims; phash = 64-bit aHash for BMP
-    (real pixels), payload polyhash for header-only formats.
+  * images: width/height = pixel dims; phash = 64-bit aHash over the
+    decoded luma plane (cross-format consistent: the same image as
+    BMP/PNG/JPEG/GIF hashes identically — tested), payload polyhash
+    for header-only fallbacks.
   * audio (WAV): width = sample rate, height = channel count,
     phash = polyhash of the first 4 KB of frames (documented overload
     of the image-named columns — one schema serves all media kinds).
@@ -50,10 +54,11 @@ def parse_png_pixels(b: bytes):
     common non-interlaced 8/16-bit-depth PNGs — color types 0 (gray),
     2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — via stdlib zlib
     IDAT inflate + the five scanline filters (None/Sub/Up/Average/
-    Paeth).  Interlaced (Adam7) or sub-byte-depth files return the
-    dimensions with ``None`` pixels, same contract as ``parse_bmp``.
-    16-bit samples use the high byte (PNG network order puts it first).
-    """
+    Paeth), including Adam7 interlacing (7 independently-filtered
+    sub-images merged back onto the pixel grid).  Sub-byte-depth files
+    return the dimensions with ``None`` pixels, same contract as
+    ``parse_bmp``.  16-bit samples use the high byte (network order
+    puts it first)."""
     import zlib
 
     hdr = parse_png_header(b)
@@ -66,7 +71,7 @@ def parse_png_pixels(b: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         return w, h, None
-    if interlace != 0 or bit_depth not in (8, 16) or (
+    if interlace not in (0, 1) or bit_depth not in (8, 16) or (
         color_type == 3 and bit_depth != 8
     ):
         return w, h, None
@@ -99,62 +104,86 @@ def parse_png_pixels(b: bytes):
         return w, h, None
     sample_bytes = bit_depth // 8
     bpp = channels * sample_bytes  # filter distance, per the spec
-    stride = w * bpp
-    if len(raw) < h * (1 + stride):
+
+    # Adam7 passes as (x0, y0, xstep, ystep); non-interlaced = 1 pass
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0 else
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    )
+    plan = []
+    need = 0
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            plan.append((x0, y0, xs, ys, pw, ph))
+            need += ph * (1 + pw * bpp)
+    if len(raw) < need:
         return w, h, None
 
-    prev = bytearray(stride)
-    rows: list[list[int]] = []
-    pos = 0
-    for _y in range(h):
-        ftype = raw[pos]
-        cur = bytearray(raw[pos + 1: pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                bb = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + bb - c
-                pa = p - a if p > a else a - p
-                pb = p - bb if p > bb else bb - p
-                pc = p - c if p > c else c - p
-                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
-                cur[i] = (cur[i] + pr) & 0xFF
-        elif ftype != 0:
-            return w, h, None
-        prev = cur
-
-        row: list[int] = []
+    def row_luma(cur: bytearray, pw: int) -> list[int]:
         if color_type == 3:  # palette index → RGB → luma
-            for x in range(w):
+            out = []
+            for x in range(pw):
                 idx = cur[x] * 3
                 if idx + 3 > len(plte):
-                    return w, h, None
+                    raise ValueError("palette index out of range")
                 rd, g, bl = plte[idx], plte[idx + 1], plte[idx + 2]
-                row.append((rd * 299 + g * 587 + bl * 114) // 1000)
-        elif channels == 1:
-            row = [cur[x * sample_bytes] for x in range(w)]
-        elif channels == 2:  # gray + alpha
-            row = [cur[x * bpp] for x in range(w)]
-        else:  # RGB / RGBA
-            for x in range(w):
-                o = x * bpp
-                rd, g, bl = cur[o], cur[o + sample_bytes], \
-                    cur[o + 2 * sample_bytes]
-                row.append((rd * 299 + g * 587 + bl * 114) // 1000)
-        rows.append(row)
-    return w, h, rows
+                out.append((rd * 299 + g * 587 + bl * 114) // 1000)
+            return out
+        if channels in (1, 2):  # gray / gray+alpha
+            return [cur[x * bpp] for x in range(pw)]
+        out = []
+        for x in range(pw):  # RGB / RGBA
+            o = x * bpp
+            rd, g, bl = cur[o], cur[o + sample_bytes], \
+                cur[o + 2 * sample_bytes]
+            out.append((rd * 299 + g * 587 + bl * 114) // 1000)
+        return out
+
+    grid: list[list[int]] = [[0] * w for _ in range(h)]
+    pos = 0
+    try:
+        for x0, y0, xs, ys, pw, ph in plan:
+            stride = pw * bpp
+            prev = bytearray(stride)
+            for y in range(ph):
+                ftype = raw[pos]
+                cur = bytearray(raw[pos + 1: pos + 1 + stride])
+                pos += 1 + stride
+                if ftype == 1:  # Sub
+                    for i in range(bpp, stride):
+                        cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+                elif ftype == 2:  # Up
+                    for i in range(stride):
+                        cur[i] = (cur[i] + prev[i]) & 0xFF
+                elif ftype == 3:  # Average
+                    for i in range(stride):
+                        left = cur[i - bpp] if i >= bpp else 0
+                        cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    for i in range(stride):
+                        a = cur[i - bpp] if i >= bpp else 0
+                        bb = prev[i]
+                        c = prev[i - bpp] if i >= bpp else 0
+                        p = a + bb - c
+                        pa = p - a if p > a else a - p
+                        pb = p - bb if p > bb else bb - p
+                        pc = p - c if p > c else c - p
+                        pr = a if (pa <= pb and pa <= pc) else \
+                            (bb if pb <= pc else c)
+                        cur[i] = (cur[i] + pr) & 0xFF
+                elif ftype != 0:
+                    return w, h, None
+                prev = cur
+                lum = row_luma(cur, pw)
+                trow = grid[y0 + y * ys]
+                for i, v in enumerate(lum):
+                    trow[x0 + i * xs] = v
+    except ValueError:
+        return w, h, None
+    return w, h, grid
 
 
 # -- JPEG -------------------------------------------------------------------
@@ -340,8 +369,16 @@ def parse_bmp(b: bytes):
     h = abs(h_raw)
     if w <= 0 or h == 0 or planes != 1 or w > 1 << 16 or h > 1 << 16:
         return None
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         return w, h, None
+    palette = None
+    if bpp == 8:  # indexed: BGRX color table follows the info header
+        clr_used = struct.unpack("<I", b[46:50])[0] if hdr_size >= 36 else 0
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        if len(b) < pal_off + 4 * n_colors:
+            return w, h, None
+        palette = b[pal_off: pal_off + 4 * n_colors]
     row_stride = ((w * bpp // 8) + 3) & ~3
     need = data_off + row_stride * h
     if data_off < 54 or len(b) < need:
@@ -354,8 +391,14 @@ def parse_bmp(b: bytes):
         off = data_off + src_r * row_stride
         row = []
         for c in range(w):
-            o = off + c * px_bytes
-            bl, g, rd = b[o], b[o + 1], b[o + 2]
+            if palette is not None:
+                i4 = b[off + c] * 4
+                if i4 + 3 > len(palette):
+                    return w, h, None
+                bl, g, rd = palette[i4], palette[i4 + 1], palette[i4 + 2]
+            else:
+                o = off + c * px_bytes
+                bl, g, rd = b[o], b[o + 1], b[o + 2]
             row.append((rd * 299 + g * 587 + bl * 114) // 1000)
         rows.append(row)
     return w, h, rows

@@ -252,35 +252,57 @@ class TestPngPixelDecode:
                     row += sample(rd) + sample(g) + sample(b) + sample(255)
             raws.append(bytes(row))
 
-        # apply the requested filter per row (inverse of the decoder)
+        # apply the requested filter per row (inverse of the decoder);
+        # interlaced output filters each Adam7 sub-image independently
+        def filter_rows(sub_rows):
+            fout = bytearray()
+            st = len(sub_rows[0])
+            prev = bytes(st)
+            for r, cur in enumerate(sub_rows):
+                f = (row_filters or [0])[r % len(row_filters or [0])]
+                filt = bytearray(cur)
+                if f == 1:
+                    for i in range(st - 1, -1, -1):
+                        left = cur[i - bpp] if i >= bpp else 0
+                        filt[i] = (cur[i] - left) & 0xFF
+                elif f == 2:
+                    for i in range(st):
+                        filt[i] = (cur[i] - prev[i]) & 0xFF
+                elif f == 3:
+                    for i in range(st):
+                        left = cur[i - bpp] if i >= bpp else 0
+                        filt[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
+                elif f == 4:
+                    for i in range(st):
+                        a = cur[i - bpp] if i >= bpp else 0
+                        b_ = prev[i]
+                        c_ = prev[i - bpp] if i >= bpp else 0
+                        p = a + b_ - c_
+                        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                        pr = a if (pa <= pb and pa <= pc) else \
+                            (b_ if pb <= pc else c_)
+                        filt[i] = (cur[i] - pr) & 0xFF
+                fout += bytes([f]) + bytes(filt)
+                prev = cur
+            return fout
+
         out = bytearray()
-        prev = bytes(stride)
-        for r, cur in enumerate(raws):
-            f = (row_filters or [0])[r % len(row_filters or [0])]
-            filt = bytearray(cur)
-            if f == 1:
-                for i in range(stride - 1, -1, -1):
-                    left = cur[i - bpp] if i >= bpp else 0
-                    filt[i] = (cur[i] - left) & 0xFF
-            elif f == 2:
-                for i in range(stride):
-                    filt[i] = (cur[i] - prev[i]) & 0xFF
-            elif f == 3:
-                for i in range(stride):
-                    left = cur[i - bpp] if i >= bpp else 0
-                    filt[i] = (cur[i] - ((left + prev[i]) >> 1)) & 0xFF
-            elif f == 4:
-                for i in range(stride):
-                    a = cur[i - bpp] if i >= bpp else 0
-                    b_ = prev[i]
-                    c_ = prev[i - bpp] if i >= bpp else 0
-                    p = a + b_ - c_
-                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
-                    pr = a if (pa <= pb and pa <= pc) else \
-                        (b_ if pb <= pc else c_)
-                    filt[i] = (cur[i] - pr) & 0xFF
-            out += bytes([f]) + bytes(filt)
-            prev = cur
+        if interlace == 0:
+            out += filter_rows(raws)
+        else:
+            for x0, y0, xs, ys in ((0, 0, 8, 8), (4, 0, 8, 8),
+                                   (0, 4, 4, 8), (2, 0, 4, 4),
+                                   (0, 2, 2, 4), (1, 0, 2, 2),
+                                   (0, 1, 1, 2)):
+                sub = []
+                for y in range(y0, h, ys):
+                    pr = bytearray()
+                    for x in range(x0, w, xs):
+                        pr += raws[y][x * bpp: (x + 1) * bpp]
+                    if pr:
+                        sub.append(bytes(pr))
+                if sub:
+                    out += filter_rows(sub)
 
         def chunk(ctype, data):
             return (struct.pack(">I", len(data)) + ctype + data
@@ -359,13 +381,18 @@ class TestPngPixelDecode:
             self._png(6, 5, self._grad, bit_depth=16, row_filters=[2]))
         assert rgb16[2] == rgb8[2]
 
-    def test_png_interlaced_falls_back_to_header(self):
-        from pdf_extract_spark.functions.mediacodec import sniff_decode
+    def test_png_interlaced_adam7_roundtrip(self):
+        """Adam7-interlaced PNGs decode to exactly the same luma grid
+        as their non-interlaced twin (all 7 passes, odd dims too)."""
+        from pdf_extract_spark.functions.mediacodec import parse_png_pixels
 
-        png = self._png(8, 8, self._grad, interlace=1)
-        d = sniff_decode(png, "m", "image")
-        assert d["decoder"] == "png-header"
-        assert (d["width"], d["height"]) == (8, 8)
+        for (w, h) in ((8, 8), (13, 11), (3, 2)):
+            plain = parse_png_pixels(self._png(w, h, self._grad))
+            inter = parse_png_pixels(
+                self._png(w, h, self._grad, interlace=1,
+                          row_filters=[0, 1, 2, 3, 4]))
+            assert inter[:2] == (w, h)
+            assert inter[2] == plain[2]
 
     def test_png_truncated_and_corrupt_fall_back(self):
         from pdf_extract_spark.functions.mediacodec import sniff_decode
@@ -681,3 +708,42 @@ class TestGifPixelDecode:
         d = sniff_decode(bytes(g), "m", "image")
         assert d["decoder"] == "gif-header"
         assert (d["width"], d["height"]) == (8, 8)
+
+
+def test_bmp_8bit_palette_decode():
+    """Indexed 8-bit BMP: color-table lookup produces the same luma
+    grid (and aHash) as the same pixels in 24-bit form."""
+    import struct
+
+    from pdf_extract_spark.functions.mediacodec import parse_bmp, sniff_decode
+
+    w, h = 16, 8
+    vals = [[(r * 16 + c * 8) % 256 for c in range(w)] for r in range(h)]
+    # grayscale palette i -> (i, i, i); BGRX entries
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    stride8 = (w + 3) & ~3
+    px8 = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        px8 += bytes(vals[r]) + b"\x00" * (stride8 - w)
+    data_off = 54 + len(pal)
+    bmp8 = (b"BM" + struct.pack("<IHHI", data_off + len(px8), 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                          len(px8), 2835, 2835, 256, 0) + pal + px8)
+    got = parse_bmp(bmp8)
+    assert got[0] == w and got[1] == h
+    assert got[2] == vals
+    d = sniff_decode(bmp8, "m", "image")
+    assert d["decoder"] == "bmp"
+
+    stride24 = ((w * 3) + 3) & ~3
+    px24 = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = bytearray()
+        for c in range(w):
+            v = vals[r][c]
+            row += bytes([v, v, v])
+        px24 += row + b"\x00" * (stride24 - len(row))
+    bmp24 = (b"BM" + struct.pack("<IHHI", 54 + len(px24), 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(px24), 2835, 2835, 0, 0) + px24)
+    assert d["phash"] == sniff_decode(bmp24, "m", "image")["phash"]
