@@ -447,6 +447,51 @@ def parse_wav(b: bytes):
         return None
 
 
+def wav_energy_hash(b: bytes) -> int | None:
+    """64-bit energy-envelope fingerprint for 16-bit PCM WAV: mean
+    |amplitude| over 64 equal time windows, thresholded at the global
+    mean — the audio analogue of the image aHash (robust to volume-
+    preserving container rewrites; returns ``None`` for non-16-bit or
+    empty audio → caller keeps the payload polyhash)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            n = min(wf.getnframes(), 1 << 20)  # bounded read
+            frames = wf.readframes(n)
+            channels = wf.getnchannels()
+    except Exception:
+        return None
+    if len(frames) < 2:
+        return None
+    import struct as _s
+
+    n_samp = len(frames) // 2
+    vals = _s.unpack(f"<{n_samp}h", frames[: n_samp * 2])
+    # mixdown to mono |amplitude|
+    mono = [
+        sum(abs(vals[i * channels + c]) for c in range(channels)) / channels
+        for i in range(n_samp // channels)
+    ]
+    if not mono:
+        return None
+    nm = len(mono)
+    cells = []
+    for k in range(64):
+        lo, hi = k * nm // 64, max(k * nm // 64 + 1, (k + 1) * nm // 64)
+        seg = mono[lo:hi]
+        cells.append(sum(seg) / len(seg))
+    mean = sum(cells) / 64.0
+    out = 0
+    for i, v in enumerate(cells):
+        if v > mean:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
 # -- dispatcher -------------------------------------------------------------
 
 
@@ -501,9 +546,11 @@ def sniff_decode(payload: bytes, media_ref: str, kind: str) -> dict | None:
     wav = parse_wav(payload)
     if wav is not None:
         rate, channels, n_frames = wav
+        eh = wav_energy_hash(payload)
         return {
             "width": int(rate), "height": int(channels),
-            "phash": _polyhash(payload[44:44 + 4096]),
-            "decoder": "wav",
+            "phash": (eh if eh is not None
+                      else _polyhash(payload[44:44 + 4096])),
+            "decoder": "wav" if eh is not None else "wav-header",
         }
     return None

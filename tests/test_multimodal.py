@@ -747,3 +747,45 @@ def test_bmp_8bit_palette_decode():
              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
                            len(px24), 2835, 2835, 0, 0) + px24)
     assert d["phash"] == sniff_decode(bmp24, "m", "image")["phash"]
+
+
+def test_wav_energy_fingerprint():
+    """16-bit PCM WAV gets an energy-envelope aHash: volume-invariant
+    (scaling amplitudes preserves the bit pattern) and localized (the
+    loud half sets the corresponding windows' bits)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pdf_extract_spark.functions.mediacodec import (
+        sniff_decode,
+        wav_energy_hash,
+    )
+
+    def make(amp):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            n = 2048
+            samples = []
+            for i in range(n):
+                if i < n // 2:
+                    samples.append(0)  # silent first half
+                else:
+                    samples.append(int(amp * math.sin(i * 0.3)))
+            wf.writeframes(struct.pack(f"<{n}h", *samples))
+        return buf.getvalue()
+
+    loud = make(20000)
+    quiet = make(5000)
+    h1 = wav_energy_hash(loud)
+    h2 = wav_energy_hash(quiet)
+    assert h1 == h2 != 0  # volume-invariant
+    # loud half = windows 32..63 → the high 32 bits
+    assert (h1 if h1 >= 0 else h1 + (1 << 64)) >> 32 == 0xFFFFFFFF
+    assert (h1 if h1 >= 0 else h1 + (1 << 64)) & 0xFFFFFFFF == 0
+    d = sniff_decode(loud, "m", "audio")
+    assert d["decoder"] == "wav" and d["phash"] == h1

@@ -142,3 +142,62 @@ def test_rc4_aes_object_key_determinism():
     keys = {doc.crypt.object_key(n, 0) for n in range(1, 40)}
     assert len(keys) == 39
     assert doc.crypt.object_key(7, 0) == doc.crypt.object_key(7, 0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 14), st.integers(1, 14),
+    st.sampled_from([0, 2, 4, 6]),
+    st.booleans(),
+    st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=1, max_size=5),
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(w, h, color_type, interlaced, filters, rng):
+    """Any small image, any color type, any filter mix, interlaced or
+    not: PNG encode (test encoder) → parse_png_pixels returns exactly
+    the source luma grid."""
+    from test_multimodal import TestPngPixelDecode
+
+    from pdf_extract_spark.functions.mediacodec import parse_png_pixels
+
+    pixels = {(r, c): (rng.randrange(256), rng.randrange(256),
+                       rng.randrange(256))
+              for r in range(h) for c in range(w)}
+    png = TestPngPixelDecode._png(
+        w, h, lambda r, c: pixels[(r, c)], color_type=color_type,
+        row_filters=filters, interlace=1 if interlaced else 0)
+    got = parse_png_pixels(png)
+    assert got is not None and got[0] == w and got[1] == h
+    want = [[
+        (lambda p: (p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000
+         if color_type != 2 else None)(pixels[(r, c)])
+        for c in range(w)] for r in range(h)]
+    if color_type == 2:
+        want = [[(pixels[(r, c)][0] * 299 + pixels[(r, c)][1] * 587
+                  + pixels[(r, c)][2] * 114) // 1000
+                 for c in range(w)] for r in range(h)]
+    assert got[2] == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 3), st.integers(1, 3),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_roundtrip_property(bw, bh, progressive, rng):
+    """Random block-sized images survive the baseline AND progressive
+    JPEG round trip within the flat-quantizer error bound."""
+    import numpy as np
+    from jpeg_encoder import encode_jpeg, encode_jpeg_progressive
+
+    from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+    w, h = bw * 8 - rng.randrange(0, 3), bh * 8 - rng.randrange(0, 3)
+    img = np.array([[rng.randrange(256) for _ in range(w)]
+                    for _ in range(h)], dtype=float)
+    data = (encode_jpeg_progressive(img) if progressive
+            else encode_jpeg(img))
+    got = decode_jpeg_luma(data)
+    assert got is not None and (got[0], got[1]) == (w, h)
+    assert np.abs(np.array(got[2], dtype=float) - img).max() <= 2.0
