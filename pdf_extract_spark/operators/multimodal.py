@@ -383,3 +383,91 @@ def multimodal_frames_oracle() -> str:
                cast((ph * (i + 1) + i) % {K.PRIME} as bigint) as frame_hash
         from exploded
     """
+
+
+# ---------------------------------------------------------------------------
+# fingerprint near-dup: banded hamming join over media phash
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_HAM_MAX = 3  # pigeonhole: ≤3 flipped bits over 4 bands ⇒ ≥1 band equal
+
+
+def media_phash_neardup(spark, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by fingerprint hamming distance: the phash
+    column (aHash64 for real decoders, stub polyhash for synthetic
+    payloads — either way a deterministic 64-bit-space fingerprint)
+    splits into 4×16-bit bands; candidates come from a banded
+    equi-join (recall-complete for hamming ≤ 3 by pigeonhole, the
+    simhash idiom), then the exact ``bit_count(xor)`` verify.
+
+    This is what makes the decode tier (mediacodec/jpegdec) a DEDUP
+    input at 100 TB: O(n·bands) candidate generation over billions of
+    images, never an all-pairs pass."""
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import SPARK
+
+    f = multimodal_features(spark, sf_dir).select(
+        "media_ref", "phash").persist()
+    bands = None
+    for bi in range(PHASH_BANDS):
+        key = (f"({K.intdiv('phash', str(1 << (PHASH_BAND_BITS * bi)), SPARK)})"
+               f" % {1 << PHASH_BAND_BITS}")
+        b = f.select(
+            "media_ref", "phash",
+            F.lit(bi).alias("band_idx"),
+            F.expr(key).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    ham = K.hamming("a_phash", "b_phash", SPARK)
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.media_ref") < F.col("b.media_ref"))
+        .select(
+            F.col("a.media_ref").alias("media_ref_a"),
+            F.col("b.media_ref").alias("media_ref_b"),
+            F.col("a.phash").alias("a_phash"),
+            F.col("b.phash").alias("b_phash"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr(ham).cast("int"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("media_ref_a", "media_ref_b", "hamming")
+    )
+
+
+def media_phash_neardup_oracle() -> str:
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import DUCK
+
+    ph = K.polyhash("text", DUCK)
+    band_rows = " union all ".join(
+        f"select media_ref, phash, {bi} as band_idx,"
+        f" (phash // {1 << (PHASH_BAND_BITS * bi)})"
+        f" % {1 << PHASH_BAND_BITS} as band_key from f"
+        for bi in range(PHASH_BANDS)
+    )
+    ham = K.hamming("a_phash", "b_phash", DUCK)
+    return f"""
+        with f as (
+            select concat('img://', source, '/', cast(doc_id as varchar))
+                       as media_ref,
+                   {ph} as phash
+            from documents
+        ),
+        bands as ({band_rows}),
+        cand as (
+            select distinct a.media_ref as media_ref_a,
+                   b.media_ref as media_ref_b,
+                   a.phash as a_phash, b.phash as b_phash
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_key = b.band_key
+             and a.media_ref < b.media_ref
+        )
+        select media_ref_a, media_ref_b,
+               cast({ham} as int) as hamming
+        from cand
+        where {ham} <= {PHASH_HAM_MAX}
+    """

@@ -27,6 +27,7 @@ Grouping (SURVEY.md §2 ids in parens):
     banded sketch join — the streaming ingest filter),
     simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk, ann_ivf_trained,
+    media_phash_neardup (banded hamming join over media fingerprints),
     text_token_stats, text_quality, text_gopher_quality (composite
     Gopher-rule filter), text_repetition (top-bigram ratio),
     text_langid, text_fingerprint
@@ -558,6 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_resize": multimodal.multimodal_resize,
     "multimodal_frames": multimodal.multimodal_frames,
+    "media_phash_neardup": multimodal.media_phash_neardup,
     "extract_spans_synth": extract_spans_synth,
     "extract_html_synth": extract_html_synth,
 }
@@ -597,5 +599,6 @@ ORACLES: dict[str, str] = {
     "multimodal_features": multimodal.multimodal_features_oracle(),
     "multimodal_resize": multimodal.multimodal_resize_oracle(),
     "multimodal_frames": multimodal.multimodal_frames_oracle(),
+    "media_phash_neardup": multimodal.media_phash_neardup_oracle(),
     # extract_spans_synth: non-SQL-expressible → rows-only check
 }
