@@ -113,6 +113,15 @@ def bxor(a: str, b: str, d: str) -> str:
     return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"
 
 
+def bitslice(a: str, shift: int, mask: int, d: str) -> str:
+    """(a >> shift) & mask — a true bit-field extraction (arithmetic
+    shift + mask), correct for NEGATIVE bigints too, unlike the
+    div/mod idiom which breaks on two's-complement values."""
+    shr = (f"shiftright({a}, {shift})" if d == SPARK
+           else f"({a} >> {shift})")
+    return f"({shr} & {mask})"
+
+
 def tokens(col: str, d: str) -> str:
     """Whitespace tokens, empties dropped."""
     split = f"split({col}, ' ')" if d == SPARK else f"string_split({col}, ' ')"

@@ -412,8 +412,10 @@ def media_phash_neardup(spark, sf_dir: str) -> DataFrame:
         "media_ref", "phash").persist()
     bands = None
     for bi in range(PHASH_BANDS):
-        key = (f"({K.intdiv('phash', str(1 << (PHASH_BAND_BITS * bi)), SPARK)})"
-               f" % {1 << PHASH_BAND_BITS}")
+        # bitslice, not div/mod: real aHashes use bit 63, and a banded
+        # join must extract true bit fields for negative values too
+        key = K.bitslice("phash", PHASH_BAND_BITS * bi,
+                         (1 << PHASH_BAND_BITS) - 1, SPARK)
         b = f.select(
             "media_ref", "phash",
             F.lit(bi).alias("band_idx"),
@@ -445,8 +447,8 @@ def media_phash_neardup_oracle() -> str:
     ph = K.polyhash("text", DUCK)
     band_rows = " union all ".join(
         f"select media_ref, phash, {bi} as band_idx,"
-        f" (phash // {1 << (PHASH_BAND_BITS * bi)})"
-        f" % {1 << PHASH_BAND_BITS} as band_key from f"
+        f" {K.bitslice('phash', PHASH_BAND_BITS * bi, (1 << PHASH_BAND_BITS) - 1, DUCK)}"
+        f" as band_key from f"
         for bi in range(PHASH_BANDS)
     )
     ham = K.hamming("a_phash", "b_phash", DUCK)

@@ -227,3 +227,27 @@ def test_readme_registry_counts_do_not_drift():
     assert m, "README check_oracle line missing"
     assert int(m.group(1)) == int(m.group(2)) == nq
     assert int(m.group(3)) == no and int(m.group(4)) == nq - no
+
+
+def test_bitslice_parity_negative_values(spark):
+    """sqlkit.bitslice extracts true bit fields in BOTH engines, even
+    for negative bigints (real aHash64 uses bit 63) — the property the
+    media_phash_neardup banded join depends on."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.functions import sqlkit as K
+    from pdf_extract_spark.functions.sqlkit import DUCK, SPARK
+
+    vals = [0, 1, 65535, 65536, (1 << 63) - 1, -1, -(1 << 63),
+            -123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "phash long")
+    con = duckdb.connect()
+    for sh in (0, 16, 32, 48):
+        got_s = [r[0] for r in
+                 df.select(F.expr(K.bitslice("phash", sh, 65535, SPARK)))
+                 .collect()]
+        got_d = [r[0] for r in con.sql(
+            "select " + K.bitslice("phash", sh, 65535, DUCK)
+            + f" from (select unnest({vals}) as phash)").fetchall()]
+        want = [(v >> sh) & 65535 for v in vals]
+        assert got_s == got_d == want, sh
