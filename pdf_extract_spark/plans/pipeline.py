@@ -479,6 +479,53 @@ def _html_batches(
             permission = None
             page_base = 0
             for span in items:
+                if span["kind"] == "html":
+                    # HTML tier through the S7 sink: each main-content
+                    # block becomes one paragraph on its own "page"
+                    # (the html doc has no page geometry); media refs
+                    # are dropped here, matching the reference's
+                    # image-less HTML output (PDFToHtml.java:52 -i)
+                    from ..functions import langid
+                    from ..functions.htmlextract import parse_main
+                    from ..operators.layout import Line, _collapse_ws
+
+                    parsed = parse_main(span["text"] or "")
+                    page_base += 1
+                    para = 0
+                    for k2, t2, _m2 in parsed.out:
+                        if k2 != "text":
+                            continue
+                        txt = rules.repair_str(
+                            rules.normalize_str(_collapse_ws(t2))).strip()
+                        if not txt:
+                            continue
+                        para += 1
+                        ln_lang = langid.detect_reliable(txt) or ""
+                        if ln_lang:
+                            lang_counts[ln_lang] = (
+                                lang_counts.get(ln_lang, 0) + 1)
+                        all_lines.append(Line(
+                            page_base, 0.0, float(para), 1.0,
+                            float(para) + 0.5, 12.0, "", "", "normal",
+                            "normal", "#000000", txt, 0,
+                            block=para, para=para, lang=ln_lang,
+                        ))
+                    if not para and parsed.lang_attr:
+                        lang_counts.setdefault(parsed.lang_attr, 0)
+                    continue
+                if span["kind"] == "text":
+                    from ..operators.layout import Line, _collapse_ws
+
+                    txt = rules.repair_str(rules.normalize_str(
+                        _collapse_ws(span["text"] or ""))).strip()
+                    if txt:
+                        page_base += 1
+                        all_lines.append(Line(
+                            page_base, 0.0, 1.0, 1.0, 1.5, 12.0, "", "",
+                            "normal", "normal", "#000000", txt, 0,
+                            block=1, para=1,
+                        ))
+                    continue
                 if span["kind"] != "pdf":
                     continue
                 pdf = _pdf_payload(span)

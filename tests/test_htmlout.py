@@ -108,3 +108,37 @@ def test_extract_html_span_error_then_success(spark):
     assert '<div id="page1"' in row.html
     assert "<error>" not in row.html
     assert row.error  # the failed span is still reported
+
+
+def test_extract_html_renders_html_tier(spark):
+    """S7 sink over an html-kind doc: main-content blocks come out as
+    paragraphs; chrome is stripped; language lands in the head."""
+    from pdf_extract_spark.plans.pipeline import extract_html
+
+    page = ('<html><body>'
+            '<nav><a href="/">Home</a> <a href="/b">Blog</a></nav>'
+            '<article><h1>The headline here</h1>'
+            '<p>The first paragraph of the article is long enough to '
+            'keep and it is clearly written in English for the test.</p>'
+            '</article>'
+            '<footer><p>Copyright notice that must disappear from '
+            'output entirely.</p></footer>'
+            '</body></html>')
+    df = spark.createDataFrame(
+        [("h1", [{"kind": "html", "text": page, "media_ref": "",
+                  "offset": 0}]),
+         ("t1", [{"kind": "text", "text": "A bare text span document.",
+                  "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    rows = {r.doc_id: r for r in extract_html(df).collect()}
+    h = rows["h1"].html
+    assert rows["h1"].error is None
+    assert "The headline here" in h
+    assert "first paragraph of the article" in h
+    assert "Copyright" not in h and "Home" not in h
+    assert 'defaultLang abbr="en"' in h
+    assert h.count("<p ") == 2  # headline + paragraph
+    t = rows["t1"].html
+    assert "A bare text span document." in t and rows["t1"].error is None
