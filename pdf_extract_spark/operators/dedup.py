@@ -647,3 +647,78 @@ def duplicate_clusters_oracle() -> str:
                min(doc_id) as min_doc, max(doc_id) as max_doc
         from lab group by cluster_id
     """
+
+
+# ---------------------------------------------------------------------------
+# bucketed sketch materialization: the candidate join without its shuffle
+# ---------------------------------------------------------------------------
+
+
+def write_sketch_table(spark: SparkSession, docs: DataFrame, table: str,
+                       path: str, buckets: int = 64) -> None:
+    """Materialize the banded MinHash sketch as a BUCKETED, sorted
+    table: ``bucketBy(buckets, band_idx, band_key)`` co-locates every
+    band bucket, so the LSH candidate self-join — the single biggest
+    shuffle in near-dedup at 10^12 docs — runs with NO Exchange on
+    either side (Spark's bucketed SortMergeJoin reads both sides
+    pre-partitioned and pre-sorted).  Signatures are computed ONCE at
+    ingest; every later dedup pass (self-join, incremental batch join,
+    streaming stream-static join) reads this table instead of
+    re-hashing the corpus.
+
+    Rows carry the shingle set alongside the band key (2 bands → 2×
+    storage) so the jaccard verify needs no extra join back to the
+    corpus — the post-candidate work is scan-local."""
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import SPARK
+
+    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
+    sized = docs.select(
+        "doc_id", F.expr(sh).alias("sh")
+    ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
+    sig = sized.select(
+        "doc_id", "sh", "n_sh",
+        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
+          for j in range(N_MINHASH)],
+    )
+    bands = None
+    for bi in range(LSH_BANDS):
+        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
+        b = sig.select(
+            "doc_id", "sh", "n_sh",
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *cols).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    (
+        bands.write.format("parquet")
+        .bucketBy(buckets, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def sketch_table_pairs(spark: SparkSession, table: str) -> DataFrame:
+    """Near-dup pairs from a bucketed sketch table: the banded
+    candidate equi-join runs bucket-to-bucket (zero Exchange below the
+    join — asserted by tests/test_plan_shapes.py), then the exact
+    jaccard verify on the carried shingle sets."""
+    from ..functions import sqlkit as K
+    from ..functions.sqlkit import SPARK
+
+    t = spark.table(table)
+    jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", SPARK)
+    return (
+        t.alias("a")
+        .join(t.alias("b"), ["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.expr(jac).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= JACCARD_TAU)
+        .distinct()
+    )

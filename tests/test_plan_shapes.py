@@ -125,3 +125,38 @@ def test_ivf_trained_plan_shape(spark):
     # the centroid cross joins must be broadcast nested loops (8-row
     # build side), never a shuffled cartesian of the corpus
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bucketed_sketch_join_no_shuffle(spark, tmp_path):
+    """The materialized bucketed sketch removes near-dedup's biggest
+    shuffle: the banded LSH candidate SELF-JOIN reads both sides
+    bucket-to-bucket (zero Exchange below the join — the only Exchange
+    left is the final distinct over the tiny verified-pair set), and
+    the pairs equal the shuffle-based minhash_lsh_pairs exactly."""
+    import re
+
+    from pdf_extract_spark.operators import dedup
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = dedup._docs(spark, SF_DIR)
+        dedup.write_sketch_table(
+            spark, docs, "sketch_shape_t", str(tmp_path / "sk"), buckets=8)
+        pairs = dedup.sketch_table_pairs(spark, "sketch_shape_t")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange [^\n]*", plan)
+        # exactly one Exchange, and it is the post-join distinct (keyed
+        # on the pair columns) — never the band-key join shuffle
+        assert len(exchanges) == 1, exchanges
+        assert "doc_id_a" in exchanges[0]
+        assert "band_idx" not in exchanges[0]
+
+        got = sorted((r.doc_id_a, r.doc_id_b) for r in pairs.collect())
+        want = sorted(
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect())
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS sketch_shape_t")
