@@ -615,6 +615,7 @@ def run_pipeline(
     time_budget_s: float | None = None,
     input_format: str = "table",
     dedup_mirrors: bool = False,
+    input_asof: str | None = None,
 ) -> dict:
     """spark-submit entry: read → (resume anti-join) → extract → commit.
 
@@ -622,7 +623,9 @@ def run_pipeline(
     reference's -I/-B modes); ``"warc"`` reads web-archive files,
     one pdf span per matching HTTP response (sources/warc.py).
     ``dedup_mirrors=True`` extracts each distinct payload once (see
-    extract_spans_mirror_dedup). Returns a summary dict (docs in/out,
+    extract_spans_mirror_dedup). ``input_asof`` time-travels the table
+    input to a committed snapshot (TableIO.read_asof) — reprocessing an
+    exact historical corpus state. Returns a summary dict (docs in/out,
     run_id)."""
     from ..sources.tableio import TableIO
 
@@ -637,7 +640,8 @@ def run_pipeline(
 
         df = read_warc(spark, input_ref)
     else:
-        df = io.read(input_ref)
+        df = (io.read_asof(input_ref, input_asof) if input_asof
+              else io.read(input_ref))
     if resume and io.exists(output_ref):
         done = io.read(output_ref).select("doc_id")
         # no forced broadcast: on a resume late in a large run the

@@ -3,7 +3,8 @@
     spark-submit --py-files pdfx.zip scripts/run_pipeline.py \
         --input  <parquet path | iceberg catalog.table> \
         --output <parquet path | iceberg catalog.table> \
-        [--lineage <ref>] [--resume] [--num-partitions N] \
+        [--lineage <ref>] [--resume] [--input-asof SNAPSHOT] \
+        [--num-partitions N] \
         [--max-pages N] [--config PDFExtract.json] [--html]
 
 Reads the interleaved-document table (doc_id, spans), extracts spans (or
@@ -62,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dedup-mirrors", action="store_true",
                     help="extract each distinct payload once and join "
                          "results back (mirror-heavy corpora)")
+    ap.add_argument("--input-asof", default=None,
+                    help="time-travel: read the table input as of a "
+                         "committed snapshot id (Iceberg snapshot-id / "
+                         "parquet manifest history)")
     ap.add_argument("--input-format", choices=["table", "pdf-dir", "warc"],
                     default="table",
                     help="'pdf-dir' reads a directory of raw .pdf files "
@@ -110,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             time_budget_s=args.time_budget,
             input_format=args.input_format,
             dedup_mirrors=args.dedup_mirrors,
+            input_asof=args.input_asof,
         )
     print(json.dumps(summary))
     return 0

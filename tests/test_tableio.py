@@ -48,3 +48,27 @@ def test_snapshot_overwrite_resets_history(spark, tmp_path):
     assert _ids(io.read_asof(ref, "s2")) == [9]
     with pytest.raises(ValueError):
         io.read_asof(ref, "s1")
+
+
+def test_run_pipeline_input_asof(spark, tmp_path):
+    """--input-asof: a pipeline run over snapshot s1 extracts exactly
+    the docs committed in s1, even after a later append."""
+    from pdf_extract_spark.plans.pipeline import run_pipeline
+    from pdf_extract_spark.sources.corpus import corpus_dataframe
+    from pdf_extract_spark.sources.tableio import TableIO
+
+    io = TableIO(spark)
+    in_ref = str(tmp_path / "docs_in")
+    corpus = corpus_dataframe(spark, 6)
+    first = corpus.filter("doc_id < 'doc00000003'")
+    rest = corpus.filter("doc_id >= 'doc00000003'")
+    n_first = first.count()
+    assert 0 < n_first < 6
+    io.write(first, in_ref, run_id="s1")
+    io.write(rest, in_ref, run_id="s2")
+
+    out_ref = str(tmp_path / "docs_out")
+    summary = run_pipeline(spark, in_ref, out_ref, input_asof="s1")
+    got = {r.doc_id for r in spark.read.parquet(out_ref).collect()}
+    assert got == {r.doc_id for r in first.collect()}
+    assert summary["n_docs"] == n_first
