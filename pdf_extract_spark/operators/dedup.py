@@ -293,7 +293,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole: ≤ 3 differing bits cannot touch all 4 bands, so the banded
     equi-join is recall-complete for the threshold — the scalable version
     of the quadratic hamming scan, same plan shape as MinHash-LSH."""
-    fp = simhash_fingerprints(spark, sf_dir)
+    # persisted: fp feeds BOTH sides of the band self-join — without it
+    # the shingle explode + 32-vote aggregate runs twice per doc (the
+    # same reason minhash_lsh_pairs persists its signature frame)
+    fp = simhash_fingerprints(spark, sf_dir).persist()
     band_structs = F.array(
         *[
             F.struct(
