@@ -553,7 +553,10 @@ def _html_batches(
                 ordered = sorted(lang_counts.items(),
                                  key=lambda kv: (-kv[1], kv[0]))
                 lang = ordered[0][0] if ordered else ""
-                lang_dist = [(l, c * 100.0 / total, c) for l, c in ordered]
+                # total can be 0 when the only signal is a declared
+                # <html lang> attribute (count 0, no detected lines)
+                lang_dist = ([(l, c * 100.0 / total, c) for l, c in ordered]
+                             if total else [])
                 html = render_document(
                     all_lines, lang, lang_dist, warnings,
                     keep_br=keep_br, permission=permission,

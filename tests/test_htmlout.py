@@ -142,3 +142,21 @@ def test_extract_html_renders_html_tier(spark):
     assert h.count("<p ") == 2  # headline + paragraph
     t = rows["t1"].html
     assert "A bare text span document." in t and rows["t1"].error is None
+
+
+def test_extract_html_lang_attr_only_doc(spark):
+    """An html doc whose every block is dropped but which declares
+    <html lang>: no crash, the declared language still lands in the
+    head (count 0 — no percent rows)."""
+    from pdf_extract_spark.plans.pipeline import extract_html
+
+    page = '<html lang="fi"><body><nav><p>menu stuff here</p></nav></body></html>'
+    df = spark.createDataFrame(
+        [("h1", [{"kind": "html", "text": page, "media_ref": "",
+                  "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    row = extract_html(df).collect()[0]
+    assert row.error is None
+    assert 'defaultLang abbr="fi"' in row.html
