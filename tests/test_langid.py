@@ -345,3 +345,27 @@ def test_coverage_count_75():
     total = n_latin + n_script + n_cyr + n_arab + n_dev
     assert n_latin >= 50
     assert total >= 75, total
+
+
+def test_round3_midtail_second_sentences():
+    """A second, structurally different natural sentence per
+    collision-prone new language (ms vs id, gl vs pt/es, fy vs nl,
+    az vs tr, lb vs de, …) — guards against single-sentence overfit."""
+    from pdf_extract_spark.functions.langid import detect
+
+    cases = {
+        "ms": "Beliau berkata bahawa projek itu amat penting kerana ia boleh membantu ramai penduduk selepas bencana semalam",
+        "gl": "A xente tamén sabe que onte non había máis tempo e hoxe xa se pode facer todo dende a casa",
+        "fy": "It wie juster al let doe't hja hjoed wer tige bliid wiene neffens it nijs yn de hiele provinsje",
+        "az": "Dünən axşam hər kəs üçün vacib olan bu görüş barədə məlumat verildi və görüş çox uğurlu keçdi",
+        "uz": "Kecha shahar markazida juda katta tadbir bo'lib o'tdi va unga barcha yoshlar ham kelishdi deb aytildi",
+        "ht": "Yè swa tout moun te vin wè sa ki te pase nan gran lakou a epi yo te rete la jiska aswè",
+        "lb": "Gëschter war et nach net kloer mä haut ass alles schonn anescht an d'Leit sinn elo ganz frou",
+        "mi": "I te ata nei ka haere ngā tamariki ki te kura engari kei te ua tonu ināianei",
+        "cy": "Roedd y plant wedi mynd i'r ysgol ddoe ond mae pawb yn aros gartref heddiw gyda'r teulu",
+        "is": "Það var mjög kalt í gær en núna eru allir komnir heim og það er gott að vera inni",
+        "so": "Shalay waxaa la qabtay kulan weyn oo ay ka soo qayb galeen dad badan maanta ayaana la sii wadi doonaa",
+        "eo": "Hieraŭ la infanoj ludis en la parko kaj hodiaŭ ili estas tre felicaj kun siaj amikoj",
+    }
+    for lang, s in cases.items():
+        assert detect(s) == lang, (lang, detect(s))
