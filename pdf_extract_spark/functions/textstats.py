@@ -341,3 +341,75 @@ def repetition_stats_oracle() -> str:
                    as top_bigram_frac
         from per group by doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-document passage boilerplate (repeated-shingle flagging)
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 8       # shingle width in tokens (a "passage" unit)
+PASSAGE_DF_TAU = 3  # a shingle in > TAU docs is corpus boilerplate
+
+
+def passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage-level boilerplate: the corpus-wide
+    complement of the within-document frequency strip (A4). Templated
+    pages, mirrored legal footers and licence blocks repeat the SAME
+    multi-token passages across MANY documents — per-doc heuristics
+    never see that. Flag: per document, the fraction of its distinct
+    ``PASSAGE_W``-token shingles whose document frequency exceeds
+    ``PASSAGE_DF_TAU`` (the Lee-et-al-style dedup signal, reduced to a
+    scan-friendly aggregate).
+
+    Plan shape at 100 TB: explode distinct shingle hashes →
+    (shingle → doc-frequency) hash agg → join back → per-doc rollup.
+    Two shuffles, both keyed near-uniformly (shingle hash, doc_id),
+    map-side partial aggregation on each; no self-join and nothing
+    quadratic. Output is a 4-column frame a corpus filter consumes
+    directly."""
+    from . import sqlkit as K
+    from .sqlkit import SPARK
+
+    sh = K.shingle_hashes("text", PASSAGE_W, SPARK)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(sh).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("h"))
+    df_counts = ex.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df"))
+    return (
+        ex.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > PASSAGE_DF_TAU, 1).otherwise(0))
+            .cast("bigint").alias("n_common"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_common",
+            F.expr("round(cast(n_common as double) / n_shingles, 6)")
+            .alias("common_frac"),
+        )
+    )
+
+
+def passage_boilerplate_oracle() -> str:
+    from . import sqlkit as K
+    from .sqlkit import DUCK
+
+    sh = K.shingle_hashes("text", PASSAGE_W, DUCK)
+    return f"""
+        with d as (
+            select doc_id, {sh} as sh from documents
+        ),
+        ex as (select doc_id, unnest(sh) as h from d),
+        dfreq as (select h, count(distinct doc_id) as df from ex group by h)
+        select ex.doc_id,
+               cast(count(*) as bigint) as n_shingles,
+               cast(sum(case when dfreq.df > {PASSAGE_DF_TAU} then 1
+                        else 0 end) as bigint) as n_common,
+               round(sum(case when dfreq.df > {PASSAGE_DF_TAU} then 1
+                         else 0 end) * 1.0 / count(*), 6) as common_frac
+        from ex join dfreq on ex.h = dfreq.h
+        group by ex.doc_id
+    """

@@ -30,7 +30,8 @@ Grouping (SURVEY.md §2 ids in parens):
     media_phash_neardup (banded hamming join over media fingerprints),
     text_token_stats, text_quality, text_gopher_quality (composite
     Gopher-rule filter), text_repetition (top-bigram ratio),
-    text_langid, text_fingerprint
+    text_langid, text_fingerprint,
+    text_passage_boilerplate (cross-doc repeated-passage flagging)
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
@@ -544,6 +545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": dedup.incremental_dedup_pairs,
     "text_gopher_quality": textstats.gopher_quality,
     "text_repetition": textstats.repetition_stats,
+    "text_passage_boilerplate": textstats.passage_boilerplate,
     "dedup_embedding_srp": similarity.srp_neardup_pairs,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
@@ -584,6 +586,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
     "text_gopher_quality": textstats.gopher_quality_oracle(),
     "text_repetition": textstats.repetition_stats_oracle(),
+    "text_passage_boilerplate": textstats.passage_boilerplate_oracle(),
     "dedup_embedding_srp": similarity.srp_neardup_pairs_oracle(),
     "dedup_keep_canonical": dedup.dedup_keep_canonical_oracle(),
     "simhash_fingerprints": dedup.simhash_fingerprints_oracle(),
