@@ -83,7 +83,11 @@ class _BitReader:
                 return False  # real marker: stop
         else:
             self.pos = p + 1
-        self.acc = (self.acc << 8) | byte
+        # Mask to live bits: without it acc grows ~8 bits per entropy
+        # byte and every shift/AND copies the whole bigint, making
+        # Huffman decode quadratic in scan size (a 450 KB JPEG took
+        # minutes; masked it is ~1 s with identical output).
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
         return True
 

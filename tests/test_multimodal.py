@@ -591,6 +591,39 @@ class TestJpegPixelDecode:
         jp = encode_jpeg(self._gradient())
         assert decode_jpeg_luma(jp[:20]) is None  # pre-SOS truncation
 
+    def test_bitreader_accumulator_stays_bounded(self):
+        """Regression: _fill must mask acc to its live bits.  Unmasked
+        it grows ~8 bits per entropy byte, so every shift/AND copies
+        an ever-larger bigint and Huffman decode goes quadratic in
+        scan size (a 450 KB scan took minutes)."""
+        from pdf_extract_spark.functions.jpegdec import _BitReader
+
+        br = _BitReader(bytes([0x5A]) * 4096, 0)
+        for _ in range(8 * 4096):
+            br.bit()
+        assert br.acc.bit_length() <= 16
+
+    def test_large_noise_jpeg_decodes_in_linear_time(self):
+        """256x256 noise is worst-case entropy density; with the
+        quadratic accumulator this took minutes, masked it is well
+        under a second."""
+        import time
+
+        import numpy as np
+
+        from jpeg_encoder import encode_jpeg
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+
+        rng = np.random.RandomState(0)
+        g = rng.randint(0, 256, (256, 256)).astype(float)
+        jp = encode_jpeg(g)
+        t0 = time.monotonic()
+        w, h, rows = decode_jpeg_luma(jp)
+        elapsed = time.monotonic() - t0
+        assert (w, h) == (256, 256)
+        assert np.abs(np.array(rows, float) - g).max() <= 2.0
+        assert elapsed < 30.0, f"quadratic-decode regression: {elapsed:.1f}s"
+
 
 class TestGifPixelDecode:
     """GIF first-frame LZW decode: lossless round trip against a
