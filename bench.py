@@ -134,6 +134,8 @@ def main() -> None:
         # min-of-2 per query: this VM sees bursty host steal (load>5 at
         # idle observed); the min is the engine's cost, the max is the
         # neighbor's
+        from pdf_extract_spark.runtime import release_caches
+
         timings: dict[str, float] = {}
         for name in BENCH_QUERIES:
             best = None
@@ -143,6 +145,9 @@ def main() -> None:
                  .write.format("noop").mode("overwrite").save())
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                # each invocation persists fresh intermediates
+                # (caller-owned lifetime) — release outside the timer
+                release_caches()
             timings[name] = round(best, 3)
 
         # best-of-3: this VM's host-steal bursts span whole 10-15 s

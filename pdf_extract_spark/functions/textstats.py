@@ -33,13 +33,12 @@ MIN_QUALITY_TOKENS = 5
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file input → repartition so the hash expressions parallelize;
-    # gated on the scan's partition count so an already-parallel
-    # production scan keeps its partitioning (no gratuitous shuffle)
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    # gated so an already-parallel production scan keeps its partitioning
+    # (no gratuitous shuffle; Connect-safe gate — see runtime.py)
+    from ..runtime import ensure_parallel_scan
+
+    return ensure_parallel_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tok_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

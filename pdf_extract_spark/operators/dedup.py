@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sqlkit as K
 from ..functions.sqlkit import DUCK, SPARK
+from ..runtime import ensure_parallel_scan, track_cache
 
 SHINGLE_W = 3          # w-token shingling
 JACCARD_TAU = 0.8      # near-dup verification threshold
@@ -51,14 +52,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the test tables are single small parquet files → a single input
     # partition; hashing is CPU-bound, so spread rows across the cluster
     # first (a ~KB/row shuffle, repaid ~cores× on the hash stage).
-    # GATED on the scan's actual partition count: a production-scale scan
-    # is already parallel, and an unconditional repartition would insert a
-    # full shuffle of the corpus for nothing.
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    # GATED: a production-scale scan is already parallel, and an
+    # unconditional repartition would insert a full shuffle of the
+    # corpus for nothing (Connect-safe gate — see runtime.py).
+    return ensure_parallel_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -113,12 +111,15 @@ def _shingled(spark: SparkSession, sf_dir: str,
     self-join sides + verify joins) and Spark recomputes common subplans
     per branch — shingle hashing is the dominant cost, so caching it is a
     ~3x win (and at cluster scale the signature frame is exactly what
-    you'd materialize as an intermediate table)."""
+    you'd materialize as an intermediate table — write_sketch_table).
+
+    Cache lifetime is caller-owned: the persist is registered with
+    runtime.track_cache, and harnesses release between queries."""
     sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
     out = _docs(spark, sf_dir).select(
         "doc_id", F.expr(sh).alias("sh")
     ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
-    return out.persist() if reuse else out
+    return track_cache(out) if reuse else out
 
 
 _SHINGLED_CTE_DUCK = f"""
@@ -180,11 +181,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingled(spark, sf_dir, reuse=True)
     # sig is referenced from both sides of the band self-join; without a
     # persist the 8 min-wise hash expressions run twice per doc
-    sig = s.select(
+    sig = track_cache(s.select(
         "doc_id", "sh", "n_sh",
         *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
           for j in range(N_MINHASH)],
-    ).persist()
+    ))
     bands = None
     for bi in range(LSH_BANDS):
         cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
@@ -295,8 +296,10 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the quadratic hamming scan, same plan shape as MinHash-LSH."""
     # persisted: fp feeds BOTH sides of the band self-join — without it
     # the shingle explode + 32-vote aggregate runs twice per doc (the
-    # same reason minhash_lsh_pairs persists its signature frame)
-    fp = simhash_fingerprints(spark, sf_dir).persist()
+    # same reason minhash_lsh_pairs persists its signature frame).
+    # track_cache registers it for harness-side release (no leak in a
+    # long-lived session).
+    fp = track_cache(simhash_fingerprints(spark, sf_dir))
     band_structs = F.array(
         *[
             F.struct(
@@ -391,49 +394,59 @@ def embedding_neardup_pairs_oracle() -> str:
 INCR_BATCH_MOD = 10
 
 
-def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time dedup: near-dup pairs between a NEW batch and the
-    existing corpus via the banded MinHash join — the filter a streaming
-    ingest pipeline runs before appending to a 10^12-doc table.
+def incremental_pairs_against_sketch(new_docs: DataFrame,
+                                     sketch: DataFrame) -> DataFrame:
+    """Ingest-time dedup core: near-dup pairs between a NEW batch (raw
+    ``doc_id, text`` rows) and a corpus SKETCH (materialized banded
+    signature rows — :func:`write_sketch_table` output).
 
-    Plan shape at scale: the corpus side's band keys are a precomputed
-    sketch table (signatures materialize once at ingest, exactly the
-    ``sig`` frame here); each new batch shuffles only its own bands
-    against it — O(batch·bands) per ingest, never a corpus self-join.
-    The test split is synthetic (doc_id % 10 == 0 is "new")."""
-    s = _shingled(spark, sf_dir, reuse=True)
-    sig = s.select(
-        "doc_id", "sh", "n_sh",
-        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
-          for j in range(N_MINHASH)],
-    ).withColumn("is_new", F.col("doc_id") % INCR_BATCH_MOD == 0).persist()
-    bands = None
-    for bi in range(LSH_BANDS):
-        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
-        b = sig.select(
-            "doc_id", "is_new",
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(",", *cols).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    new_b = bands.filter(F.col("is_new")).alias("a")
-    old_b = bands.filter(~F.col("is_new")).alias("b")
-    cand = (
-        new_b.join(old_b, ["band_idx", "band_key"])
-        .select(
-            F.col("a.doc_id").alias("new_id"),
-            F.col("b.doc_id").alias("corpus_id"),
-        )
-        .distinct()
+    The corpus side is ONLY a scan of the sketch table: no shingle or
+    minhash expression touches it (plan-asserted in
+    tests/test_plan_shapes.py) — the signatures were computed once at
+    ingest.  Per-batch cost is O(batch·bands) hashing on the new side
+    plus one band equi-join against the bucketed table; the carried
+    shingle sets make the jaccard verify join-local (no join back to
+    the corpus).  A pair colliding in several bands computes its
+    (deterministic) jaccard per collision and dedups after — cheaper
+    than a pre-verify distinct, which would shuffle the candidate set
+    twice."""
+    nb = banded_signatures(new_docs).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sh").alias("new_sh"),
+        F.col("n_sh").alias("new_n_sh"),
+        "band_idx", "band_key",
     )
-    sh = s.select("doc_id", "sh", "n_sh")
-    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", SPARK)
+    corp = sketch.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("corpus_sh"),
+        F.col("n_sh").alias("corpus_n_sh"),
+        "band_idx", "band_key",
+    )
+    jac = K.jaccard("new_sh", "corpus_sh", "new_n_sh", "corpus_n_sh", SPARK)
     return (
-        cand.join(sh.alias("sa"), cand["new_id"] == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), cand["corpus_id"] == F.col("sb.doc_id"))
+        nb.join(corp, ["band_idx", "band_key"])
         .select("new_id", "corpus_id", F.expr(jac).alias("jacc"))
         .filter(F.col("jacc") >= JACCARD_TAU)
+        .distinct()
     )
+
+
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: near-dup pairs between a NEW batch and the
+    existing corpus — the filter a streaming ingest pipeline runs
+    before appending to a 10^12-doc table.
+
+    The corpus side reads the MATERIALIZED bucketed sketch table
+    (written once per session by :func:`ensure_sketch_table`), so each
+    ingest pays only its own batch's hashing — never a corpus re-hash.
+    The test split is synthetic (doc_id % 10 == 0 is "new"); the split
+    filters land on the sketch scan / documents scan respectively."""
+    table = ensure_sketch_table(spark, sf_dir)
+    sketch = spark.table(table).filter(
+        F.col("doc_id") % INCR_BATCH_MOD != 0)
+    new_docs = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_BATCH_MOD == 0)
+    return incremental_pairs_against_sketch(new_docs, sketch)
 
 
 def incremental_dedup_pairs_oracle() -> str:
@@ -657,24 +670,14 @@ def duplicate_clusters_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def write_sketch_table(spark: SparkSession, docs: DataFrame, table: str,
-                       path: str, buckets: int = 64) -> None:
-    """Materialize the banded MinHash sketch as a BUCKETED, sorted
-    table: ``bucketBy(buckets, band_idx, band_key)`` co-locates every
-    band bucket, so the LSH candidate self-join — the single biggest
-    shuffle in near-dedup at 10^12 docs — runs with NO Exchange on
-    either side (Spark's bucketed SortMergeJoin reads both sides
-    pre-partitioned and pre-sorted).  Signatures are computed ONCE at
-    ingest; every later dedup pass (self-join, incremental batch join,
-    streaming stream-static join) reads this table instead of
-    re-hashing the corpus.
-
-    Rows carry the shingle set alongside the band key (2 bands → 2×
-    storage) so the jaccard verify needs no extra join back to the
-    corpus — the post-candidate work is scan-local."""
-    from ..functions import sqlkit as K
-    from ..functions.sqlkit import SPARK
-
+def banded_signatures(docs: DataFrame) -> DataFrame:
+    """The ingest-time sketch rows for a ``doc_id, text`` frame: one row
+    per (doc, LSH band) carrying the distinct shingle-hash set, its
+    size, and the band key — the SINGLE definition of the MinHash
+    banding that every consumer (bucketed sketch write, incremental
+    batch join, streaming stream-static join) shares, so a sketch
+    written at ingest time joins bit-identically against signatures
+    computed in-plan."""
     sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
     sized = docs.select(
         "doc_id", F.expr(sh).alias("sh")
@@ -693,14 +696,76 @@ def write_sketch_table(spark: SparkSession, docs: DataFrame, table: str,
             F.concat_ws(",", *cols).alias("band_key"),
         )
         bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def write_sketch_table(spark: SparkSession, docs: DataFrame, table: str,
+                       path: str, buckets: int = 64) -> None:
+    """Materialize the banded MinHash sketch as a BUCKETED, sorted
+    table: ``bucketBy(buckets, band_idx, band_key)`` co-locates every
+    band bucket, so the LSH candidate self-join — the single biggest
+    shuffle in near-dedup at 10^12 docs — runs with NO Exchange on
+    either side (Spark's bucketed SortMergeJoin reads both sides
+    pre-partitioned and pre-sorted).  Signatures are computed ONCE at
+    ingest; every later dedup pass (self-join via
+    :func:`sketch_table_pairs`, incremental batch join via
+    :func:`incremental_pairs_against_sketch`, streaming stream-static
+    join via ``streaming.windows.corpus_sketch_from_table``) reads this
+    table instead of re-hashing the corpus.
+
+    Rows carry the shingle set alongside the band key (2 bands → 2×
+    storage) so the jaccard verify needs no extra join back to the
+    corpus — the post-candidate work is scan-local."""
     (
-        bands.write.format("parquet")
+        banded_signatures(docs).write.format("parquet")
         .bucketBy(buckets, "band_idx", "band_key")
         .sortBy("band_idx", "band_key")
         .option("path", path)
         .mode("overwrite")
         .saveAsTable(table)
     )
+
+
+#: session-memoized sketch tables: (app id, abs sf_dir) -> table name
+_SKETCH_TABLES: dict[tuple[str, str], str] = {}
+
+
+def ensure_sketch_table(spark: SparkSession, sf_dir: str,
+                        buckets: int = 8) -> str:
+    """Write-once-per-session sketch materialization for a test-scale
+    ``sf_dir`` — the harness-facing stand-in for the ingest-time write
+    a production table gets when documents are appended.  Registered
+    queries (dedup_sketch_pairs, dedup_incremental) call this so one
+    check_oracle / bench session hashes the corpus exactly once, then
+    every dedup pass reads the bucketed table."""
+    import os
+    import re
+    import tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no context handle — key by session
+        app = str(id(spark))
+    key = (app, os.path.abspath(sf_dir))
+    got = _SKETCH_TABLES.get(key)
+    if got is not None and spark.catalog.tableExists(got):
+        return got
+    tag = re.sub(r"\W+", "_", os.path.basename(os.path.abspath(sf_dir)))
+    table = f"pdfx_sketch_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"pdfx_sketch_{tag}")
+    write_sketch_table(spark, _docs(spark, sf_dir), table, path,
+                       buckets=buckets)
+    _SKETCH_TABLES[key] = table
+    return table
+
+
+def sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the sketch-table self-join: materialize the
+    bucketed sketch (once per session), then the zero-Exchange banded
+    candidate join + jaccard verify.  Produces exactly the
+    minhash_lsh_pairs row set — the oracle reuses that SQL — but with
+    the corpus hashed once at write time instead of per query."""
+    return sketch_table_pairs(spark, ensure_sketch_table(spark, sf_dir))
 
 
 def sketch_table_pairs(spark: SparkSession, table: str) -> DataFrame:

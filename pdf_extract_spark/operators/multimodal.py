@@ -68,11 +68,12 @@ FEATURE_SCHEMA = StructType(
 
 def polyhash_bytes(data: bytes) -> int:
     """The sqlkit rolling hash, byte-wise — identical to the SQL
-    ``polyhash`` fragment for ASCII payloads."""
-    acc = 0
-    for b in data:
-        acc = (acc * BASE + b) % PRIME
-    return acc
+    ``polyhash`` fragment for ASCII payloads.  Vectorized block-Horner
+    (functions/sqlkit.py): multi-MB decode-fallback payloads hash at
+    numpy speed with bit-identical values (r3 VERDICT hot-path fix)."""
+    from ..functions.sqlkit import polyhash_bytes as _ph
+
+    return _ph(data)
 
 
 def _decode_stub(payload: bytes, media_ref: str, kind: str) -> dict:
@@ -408,8 +409,13 @@ def media_phash_neardup(spark, sf_dir: str) -> DataFrame:
     from ..functions import sqlkit as K
     from ..functions.sqlkit import SPARK
 
-    f = multimodal_features(spark, sf_dir).select(
-        "media_ref", "phash").persist()
+    # tracked persist (runtime.track_cache): the phash frame feeds all
+    # 4 band branches; harnesses release between queries so repeated
+    # invocations in a long-lived session don't accumulate cached blocks
+    from ..runtime import track_cache
+
+    f = track_cache(multimodal_features(spark, sf_dir).select(
+        "media_ref", "phash"))
     bands = None
     for bi in range(PHASH_BANDS):
         # bitslice, not div/mod: real aHashes use bit 63, and a banded

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..functions import sqlkit as K
 from ..functions.sqlkit import DUCK, SPARK
+from ..runtime import track_cache
 
 TOP_K = 5
 QUERY_STRIDE = 83  # query set = vec_id % 83 == 0 (deterministic, tiny)
@@ -188,7 +189,9 @@ def srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB (the text_fingerprint tradeoff). At production scale
     the signature step becomes one Arrow-batched numpy matmul
     (vectors @ signs.T > 0) with the SAME banding plan downstream."""
-    emb = _emb(spark, sf_dir).select("vec_id", "v").persist()
+    # cache lifetime is caller-owned (runtime.track_cache): harnesses
+    # release between queries, so repeated invocations don't accumulate
+    emb = track_cache(_emb(spark, sf_dir).select("vec_id", "v"))
     band_structs = F.array(
         *[
             F.struct(

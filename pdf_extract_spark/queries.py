@@ -25,6 +25,8 @@ Grouping (SURVEY.md §2 ids in parens):
     dedup_keep_canonical (the apply step: surviving corpus after
     near-dedup), dedup_incremental (new ingest batch vs corpus via the
     banded sketch join — the streaming ingest filter),
+    dedup_sketch_pairs (the materialized bucketed-sketch self-join:
+    signatures hashed once at ingest, zero-Exchange candidate join),
     simhash_fingerprints,
     ann_bruteforce_topk, ann_ivf_topk, ann_ivf_trained,
     media_phash_neardup (banded hamming join over media fingerprints),
@@ -543,6 +545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
     "dedup_clusters": dedup.duplicate_clusters,
     "dedup_incremental": dedup.incremental_dedup_pairs,
+    "dedup_sketch_pairs": dedup.sketch_pairs,
     "text_gopher_quality": textstats.gopher_quality,
     "text_repetition": textstats.repetition_stats,
     "text_passage_boilerplate": textstats.passage_boilerplate,
@@ -584,6 +587,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
+    # the sketch-table path must reproduce the in-plan LSH row set
+    # exactly — same oracle SQL, corpus hashed once at write time
+    "dedup_sketch_pairs": dedup.minhash_lsh_pairs_oracle(),
     "text_gopher_quality": textstats.gopher_quality_oracle(),
     "text_repetition": textstats.repetition_stats_oracle(),
     "text_passage_boilerplate": textstats.passage_boilerplate_oracle(),

@@ -276,36 +276,35 @@ def dedup_docs_stream(docs: DataFrame,
 # ---------------------------------------------------------------------------
 
 
-def corpus_sketch(docs: DataFrame):
-    """Static side of the streaming near-dup join: the corpus's MinHash
-    band keys + shingle sets — at scale this is the materialized sketch
-    table the batch ``dedup_incremental`` also reads (signatures are
-    computed ONCE at ingest, not per query)."""
-    from ..functions import sqlkit as K
-    from ..functions.sqlkit import SPARK
-    from ..operators.dedup import LSH_BANDS, LSH_ROWS, N_MINHASH, SHINGLE_W
-
-    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
-    sized = docs.select(
-        "doc_id", F.expr(sh).alias("sh")
-    ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
-    sig = sized.select(
-        "doc_id", "sh", "n_sh",
-        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
-          for j in range(N_MINHASH)],
+def _corpus_rename(bands: DataFrame) -> DataFrame:
+    return bands.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("corpus_sh"),
+        F.col("n_sh").alias("corpus_n_sh"),
+        "band_idx", "band_key",
     )
-    bands = None
-    for bi in range(LSH_BANDS):
-        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
-        b = sig.select(
-            F.col("doc_id").alias("corpus_id"),
-            F.col("sh").alias("corpus_sh"),
-            F.col("n_sh").alias("corpus_n_sh"),
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(",", *cols).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    return bands
+
+
+def corpus_sketch(docs: DataFrame):
+    """Static side of the streaming near-dup join computed IN-PLAN from
+    raw documents — the ad-hoc form for corpora with no materialized
+    sketch.  A deployed pipeline uses :func:`corpus_sketch_from_table`
+    instead: signatures are computed once at ingest
+    (operators.dedup.write_sketch_table), never per query."""
+    from ..operators.dedup import banded_signatures
+
+    return _corpus_rename(banded_signatures(docs))
+
+
+def corpus_sketch_from_table(spark, table: str) -> DataFrame:
+    """Static side of the streaming near-dup join read from the
+    MATERIALIZED bucketed sketch table: a pure scan + rename — zero
+    hashing (plan-asserted in tests/test_plan_shapes.py), because the
+    band keys and shingle sets were written once at ingest by
+    ``operators.dedup.write_sketch_table``.  This is the same table the
+    batch incremental dedup reads, closing the loop: one sketch, three
+    consumers (self-join, batch ingest, stream ingest)."""
+    return _corpus_rename(spark.table(table))
 
 
 def neardup_stream(new_docs: DataFrame, sketch: DataFrame) -> DataFrame:

@@ -57,6 +57,8 @@ def main() -> int:
             f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
         )
 
+    from pdf_extract_spark.runtime import release_caches
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = sys.argv[2:] or list(qs)
@@ -69,6 +71,9 @@ def main() -> int:
             print(f"{name:28s} SPARK ERROR: {e}")
             failed.append(name)
             continue
+        finally:
+            # builder-persisted intermediates have caller-owned lifetime
+            release_caches()
         t1 = time.time()
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(sdf)} rows "

@@ -69,7 +69,8 @@ def test_dedup_queries_no_python_no_cartesian(spark):
     from pdf_extract_spark.queries import QUERIES
 
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-                 "dedup_incremental", "simhash_fingerprints"):
+                 "dedup_incremental", "dedup_sketch_pairs",
+                 "simhash_fingerprints"):
         plan = _physical(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
@@ -160,3 +161,54 @@ def test_bucketed_sketch_join_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS sketch_shape_t")
+
+
+def test_incremental_dedup_reads_sketch_not_rehash(spark):
+    """dedup_incremental's corpus side is ONLY a scan of the
+    materialized sketch table — no shingle/minhash expression ever
+    touches the corpus again (signatures computed once at ingest).
+    The plan therefore contains exactly ONE documents.parquet scan
+    (the new batch) plus the sketch-table scan."""
+    import re
+
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["dedup_incremental"](spark, SF_DIR))
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    doc_scans = [s for s in scans if "documents" in s]
+    sketch_scans = [s for s in scans if "pdfx_sketch" in s]
+    assert len(sketch_scans) >= 1, scans    # corpus = materialized sketch
+    # every raw-documents scan is the FILTERED new batch (the band union
+    # duplicates it once per LSH band); the corpus is never re-scanned
+    # raw, so no shingle/minhash expression touches it
+    assert doc_scans and all("% 10" in s for s in doc_scans), scans
+
+
+def test_streaming_corpus_sketch_from_table_is_pure_scan(spark, tmp_path):
+    """The streaming near-dup static side read from the materialized
+    sketch is a scan + rename with ZERO hashing (no transform /
+    array_distinct / array_min anywhere in the plan), and yields
+    row-identical sketch rows to the in-plan corpus_sketch form."""
+    from pdf_extract_spark.operators import dedup
+    from pdf_extract_spark.streaming.windows import (
+        corpus_sketch,
+        corpus_sketch_from_table,
+    )
+
+    docs = dedup._docs(spark, SF_DIR)
+    try:
+        dedup.write_sketch_table(
+            spark, docs, "sketch_stream_t", str(tmp_path / "sk"), buckets=4)
+        from_table = corpus_sketch_from_table(spark, "sketch_stream_t")
+        plan = _physical(from_table)
+        for marker in ("transform(", "array_distinct", "array_min"):
+            assert marker not in plan, (marker, plan)
+
+        key = ["corpus_id", "band_idx", "band_key", "corpus_n_sh"]
+        got = sorted(tuple(r[k] for k in key)
+                     for r in from_table.collect())
+        want = sorted(tuple(r[k] for k in key)
+                      for r in corpus_sketch(docs).collect())
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sketch_stream_t")
