@@ -24,14 +24,7 @@ from __future__ import annotations
 
 import struct
 
-from .sqlkit import BASE, PRIME
-
-
-def _polyhash(data: bytes) -> int:
-    acc = 0
-    for b in data:
-        acc = (acc * BASE + b) % PRIME
-    return acc
+from .sqlkit import polyhash_bytes as _polyhash  # noqa: F401  (vectorized)
 
 
 # -- PNG --------------------------------------------------------------------
