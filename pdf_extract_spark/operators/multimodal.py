@@ -272,6 +272,8 @@ FRAME_SCHEMA = StructType(
 
 def _frame_batches(batches: Iterator[pd.DataFrame],
                    interval_ms: int, max_frames: int) -> Iterator[pd.DataFrame]:
+    from ..functions.containerdec import container_duration_ms
+
     cols = [f.name for f in FRAME_SCHEMA.fields]
     for b in batches:
         out = []
@@ -280,8 +282,15 @@ def _frame_batches(batches: Iterator[pd.DataFrame],
         ):
             payload = bytes(payload) if payload is not None else b""
             ph = polyhash_bytes(payload)
-            # STUB duration: real deployments read the container header
-            duration_ms = 1_000 + (ph % 59_000)
+            # Real duration when the payload is an MP4/WebM whose header
+            # we can walk (magic-gated — synthetic oracle payloads have
+            # no container magic and stay on the stub); frame DECODE
+            # still needs a registered decoder, but the sampling fan-out
+            # is now driven by the true container duration.
+            duration_ms = container_duration_ms(payload)
+            if duration_ms is None:
+                # STUB duration (deterministic, SQL-replayable)
+                duration_ms = 1_000 + (ph % 59_000)
             n = min(max_frames, 1 + duration_ms // interval_ms)
             for i in range(n):
                 out.append({
@@ -299,10 +308,12 @@ def video_frame_sample(media: DataFrame,
     """Frame sampling: one input row → N frame rows (variable fan-out
     inside ``mapInPandas`` — the batch shape real frame extraction
     needs; output row count is NOT the input row count, which Spark
-    permits because mapInPandas yields arbitrary batches). Frame decode
-    itself is a deployment-registered transform; the stub derives a
-    deterministic duration/hash per frame so the whole fan-out is
-    SQL-replayable."""
+    permits because mapInPandas yields arbitrary batches). Durations are
+    REAL for MP4/MOV (``moov/mvhd``) and WebM/MKV (EBML ``Segment→Info``)
+    payloads via the stdlib header walk in ``functions/containerdec.py``;
+    frame decode itself remains a deployment-registered transform, and
+    non-container payloads fall back to a deterministic stub duration so
+    the synthetic-payload fan-out stays SQL-replayable."""
     return media.select("doc_id", "media_ref", "payload").mapInPandas(
         lambda it: _frame_batches(it, interval_ms, max_frames),
         schema=FRAME_SCHEMA,

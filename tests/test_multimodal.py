@@ -861,3 +861,209 @@ def test_polyhash_bytes_vectorized_exact_and_fast():
     t_slow = time.time() - t0
     assert fast == slow
     assert t_slow / t_fast >= 15, (t_fast, t_slow)
+
+
+# ---------------------------------------------------------------------------
+# container durations (MP4 / WebM header walk — functions/containerdec)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    import struct
+
+    if largesize:
+        return (struct.pack(">I", 1) + btype
+                + struct.pack(">Q", 16 + len(payload)) + payload)
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    import struct
+
+    if version == 1:
+        body = (b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+                + struct.pack(">IQ", timescale, duration))
+    else:
+        body = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration))
+    # trailing rate/volume/matrix fields (opaque to the parser)
+    return body + b"\x00" * 80
+
+
+def _mp4(timescale=1000, duration=23000, version=0, faststart=True,
+         largesize=False) -> bytes:
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    moov = _mp4_box(
+        b"moov", _mp4_box(b"mvhd", _mvhd(timescale, duration, version)),
+        largesize=largesize)
+    mdat = _mp4_box(b"mdat", b"\xab" * 4096)
+    return ftyp + (moov + mdat if faststart else mdat + moov)
+
+
+def _ebml_id(i: int) -> bytes:
+    return i.to_bytes((i.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError(n)
+
+
+def _ebml_elem(i: int, body: bytes) -> bytes:
+    return _ebml_id(i) + _ebml_size(len(body)) + body
+
+
+def _webm(duration_ticks: float, scale_ns: int | None = None,
+          double: bool = True, unknown_segment_size: bool = False) -> bytes:
+    import struct
+
+    info_body = b""
+    if scale_ns is not None:
+        raw = scale_ns.to_bytes((scale_ns.bit_length() + 7) // 8, "big")
+        info_body += _ebml_elem(0x2AD7B1, raw)
+    dur = (struct.pack(">d", duration_ticks) if double
+           else struct.pack(">f", duration_ticks))
+    info_body += _ebml_elem(0x4489, dur)
+    segment_body = _ebml_elem(0x1549A966, info_body) + _ebml_elem(
+        0x1F43B675, b"\x00" * 64)  # a Cluster after Info
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"webm"))
+    if unknown_segment_size:
+        seg = _ebml_id(0x18538067) + b"\x01\xff\xff\xff\xff\xff\xff\xff" \
+            + segment_body
+    else:
+        seg = _ebml_elem(0x18538067, segment_body)
+    return header + seg
+
+
+class TestContainerDurations:
+    def test_mp4_v0(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_mp4_duration_ms,
+        )
+
+        assert parse_mp4_duration_ms(_mp4(1000, 23000)) == 23000
+        # non-trivial timescale: 90kHz clock, 90000*12.5 ticks = 12.5 s
+        assert parse_mp4_duration_ms(_mp4(90000, 1125000)) == 12500
+
+    def test_mp4_v1_64bit(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_mp4_duration_ms,
+        )
+
+        assert parse_mp4_duration_ms(
+            _mp4(600, 3 * 600 * 3600, version=1)) == 3 * 3600 * 1000
+
+    def test_mp4_moov_after_mdat(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_mp4_duration_ms,
+        )
+
+        # non-faststart: the walker must SKIP mdat via its length
+        # prefix, not scan it
+        assert parse_mp4_duration_ms(
+            _mp4(1000, 7000, faststart=False)) == 7000
+
+    def test_mp4_largesize_box(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_mp4_duration_ms,
+        )
+
+        assert parse_mp4_duration_ms(_mp4(1000, 9000, largesize=True)) == 9000
+
+    def test_mp4_rejects_garbage_and_sentinels(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_mp4_duration_ms,
+        )
+
+        assert parse_mp4_duration_ms(b"not an mp4 at all") is None
+        assert parse_mp4_duration_ms(_mp4(0, 1000)) is None  # timescale 0
+        assert parse_mp4_duration_ms(
+            _mp4(1000, 0xFFFFFFFF)) is None  # unknown-duration sentinel
+        # truncated mid-moov must not raise
+        full = _mp4(1000, 23000)
+        for cut in (0, 5, 13, 30, len(full) - 1):
+            parse_mp4_duration_ms(full[:cut])
+
+    def test_webm_default_scale(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_webm_duration_ms,
+        )
+
+        # default TimestampScale = 1e6 ns → Duration ticks are ms
+        assert parse_webm_duration_ms(_webm(12500.0)) == 12500
+
+    def test_webm_explicit_scale_and_float32(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_webm_duration_ms,
+        )
+
+        # 0.5 ms ticks: 5000 ticks = 2.5 s
+        assert parse_webm_duration_ms(
+            _webm(5000.0, scale_ns=500_000)) == 2500
+        assert parse_webm_duration_ms(
+            _webm(8000.0, double=False)) == 8000
+
+    def test_webm_unknown_segment_size(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_webm_duration_ms,
+        )
+
+        # streamed matroska: Segment declares unknown size (all-ones
+        # vint) and extends to EOF
+        assert parse_webm_duration_ms(
+            _webm(4000.0, unknown_segment_size=True)) == 4000
+
+    def test_webm_rejects_garbage(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_webm_duration_ms,
+        )
+
+        assert parse_webm_duration_ms(b"\x00" * 64) is None
+        full = _webm(12500.0)
+        for cut in (1, 4, 9, len(full) - 3):
+            parse_webm_duration_ms(full[:cut])  # never raises
+
+    def test_container_fuzz_never_raises(self):
+        import random
+
+        from pdf_extract_spark.functions.containerdec import (
+            container_duration_ms,
+        )
+
+        rnd = random.Random(0xC0417A1)
+        seeds = [_mp4(1000, 23000), _mp4(600, 99999, version=1),
+                 _webm(12500.0), _webm(5000.0, scale_ns=500_000)]
+        for _ in range(400):
+            buf = bytearray(rnd.choice(seeds))
+            for _ in range(rnd.randrange(1, 6)):
+                buf[rnd.randrange(len(buf))] = rnd.randrange(256)
+            container_duration_ms(bytes(buf[:rnd.randrange(4, len(buf))]))
+            container_duration_ms(bytes(buf))
+
+    def test_frame_sample_uses_real_duration(self, spark):
+        from pdf_extract_spark.operators.multimodal import (
+            FRAME_INTERVAL_MS,
+            video_frame_sample,
+        )
+
+        payload_23s = _mp4(1000, 23000)           # → 5 frames @ 5 s
+        payload_3s = _webm(3000.0)                # → 1 frame
+        payload_90s = _mp4(90000, 90000 * 90)     # → capped at FRAME_MAX
+        df = spark.createDataFrame(
+            [("d1", "vid://a", payload_23s),
+             ("d2", "vid://b", payload_3s),
+             ("d3", "vid://c", payload_90s)],
+            "doc_id string, media_ref string, payload binary",
+        )
+        rows = video_frame_sample(df).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["media_ref"], []).append(r)
+        assert len(per["vid://a"]) == 1 + 23000 // FRAME_INTERVAL_MS
+        assert len(per["vid://b"]) == 1
+        assert len(per["vid://c"]) == 8  # FRAME_MAX cap
+        assert [r["timestamp_ms"] for r in sorted(
+            per["vid://a"], key=lambda r: r["frame_idx"])] == [
+            i * FRAME_INTERVAL_MS for i in range(5)]
