@@ -11,12 +11,24 @@ TableIO keeps one API with two backends (SURVEY.md §7 preamble):
     manifest (JSON lines) we maintain: each committed write appends a
     manifest row (snapshot_id, run_id, row_count). Resume reads the last
     committed snapshot's lineage exactly like the Iceberg path would.
+
+Filesystem access on the parquet backend goes through the JVM Hadoop
+``FileSystem`` API (py4j), so the same code serves ``file:``, ``hdfs:``,
+``s3a:``, ``abfs:``, ... — the realistic homes for a 100 TB warehouse —
+with a pure-POSIX fallback only when no JVM gateway is reachable (Spark
+Connect). Manifest commits are write-temp-then-rename: atomic on HDFS
+and POSIX; on object stores rename is copy+delete, which still leaves
+either the old or the new complete manifest (never a torn append) —
+that, plus the absence of an atomic multi-writer swap, is the documented
+delta vs real Iceberg (single-writer assumption, like a Hive table
+without a lock service).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,11 +44,102 @@ def _has_iceberg_catalog(spark: SparkSession, ref: str) -> bool:
         return False
 
 
+class _HadoopFS:
+    """Thin py4j wrapper over ``org.apache.hadoop.fs.FileSystem`` —
+    scheme-aware (file:/hdfs:/s3a:/abfs:), resolved per path."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs(p).exists(self._path(p)))
+
+    def listdir(self, p: str) -> list[str]:
+        fs, jp = self._fs(p), self._path(p)
+        if not fs.exists(jp):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jp)]
+
+    def mkdirs(self, p: str) -> None:
+        self._fs(p).mkdirs(self._path(p))
+
+    def read_text(self, p: str) -> str | None:
+        fs, jp = self._fs(p), self._path(p)
+        if not fs.exists(jp):
+            return None
+        stream = fs.open(jp)
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines) + ("\n" if lines else "")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        """Write via a temp sibling + rename — a reader never observes a
+        partially-written file (rename is atomic on HDFS/POSIX; on
+        object stores it is copy-then-delete of a complete object)."""
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+        fs, jtmp, jdst = self._fs(p), self._path(tmp), self._path(p)
+        out = fs.create(jtmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(jdst):
+            fs.delete(jdst, False)
+        if not fs.rename(jtmp, jdst):
+            fs.delete(jtmp, False)
+            raise IOError(f"manifest rename failed: {tmp} -> {p}")
+
+
+class _PosixFS:
+    """POSIX fallback for JVM-less sessions (Spark Connect) — local
+    paths only."""
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def read_text(self, p: str) -> str | None:
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return fh.read()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, p)  # atomic on POSIX
+
+
 class TableIO:
     """Read/write interleaved-document tables by path or catalog ref."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        try:
+            self._io = _HadoopFS(spark)  # raises under Spark Connect
+        except Exception:
+            self._io = _PosixFS()
 
     def read(self, ref: str) -> DataFrame:
         if _has_iceberg_catalog(self.spark, ref):
@@ -50,8 +153,9 @@ class TableIO:
                 return True
             except Exception:
                 return False
-        return os.path.isdir(ref) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(ref)
+        return any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in self._io.listdir(ref)
         )
 
     def write(self, df: DataFrame, ref: str, run_id: str | None = None,
@@ -93,7 +197,16 @@ class TableIO:
         files: list[str] = []
         found = False
         for row in self._manifest_rows(ref):
-            files.extend(row.get("files", []))
+            if "files" not in row:
+                # Manifest rows written before per-commit file tracking
+                # cannot be reconstructed — fail loudly rather than
+                # silently returning an empty/partial table.
+                raise ValueError(
+                    f"snapshot {row['snapshot_id']!r} in {ref} predates "
+                    "file tracking; time travel to or past it is not "
+                    "reconstructible (re-write the table to refresh the "
+                    "manifest)")
+            files.extend(row["files"])
             if row["snapshot_id"] == snapshot_id:
                 found = True
                 break
@@ -103,34 +216,36 @@ class TableIO:
         if not files:
             return self.spark.read.parquet(ref).limit(0)
         return self.spark.read.parquet(
-            *[os.path.join(ref, f) for f in files])
+            *[posixpath.join(ref, f) for f in files])
 
     # -- parquet-backend snapshot manifest ----------------------------------
     def _manifest_path(self, ref: str) -> str:
-        return os.path.join(ref, "_snapshots.jsonl")
+        return posixpath.join(ref, "_snapshots.jsonl")
 
     def _data_files(self, ref: str) -> set[str]:
-        if not os.path.isdir(ref):
-            return set()
-        return {f for f in os.listdir(ref) if f.endswith(".parquet")}
+        return {f for f in self._io.listdir(ref) if f.endswith(".parquet")}
 
     def _append_manifest(self, ref: str, run_id: str,
                          files: list[str] | None = None,
                          reset: bool = False) -> None:
-        # Manifest rows mirror Iceberg snapshot metadata (documented delta:
-        # no atomic swap; commit order is append order). Each row records
-        # the data files its commit added — the time-travel source.
-        os.makedirs(ref, exist_ok=True)
+        # Manifest rows mirror Iceberg snapshot metadata (documented
+        # delta: single-writer, no catalog-arbitrated swap; commit order
+        # is append order). Each row records the data files its commit
+        # added — the time-travel source. The full manifest is rewritten
+        # via temp+rename so a crash mid-commit leaves the previous
+        # complete manifest, never a torn line.
+        self._io.mkdirs(ref)
         row = json.dumps({"snapshot_id": run_id, "files": files or []})
-        with open(self._manifest_path(ref), "w" if reset else "a") as fh:
-            fh.write(row + "\n")
+        prior = "" if reset else (
+            self._io.read_text(self._manifest_path(ref)) or "")
+        self._io.write_text_atomic(self._manifest_path(ref),
+                                   prior + row + "\n")
 
     def _manifest_rows(self, ref: str) -> list[dict]:
-        path = self._manifest_path(ref)
-        if not os.path.exists(path):
+        text = self._io.read_text(self._manifest_path(ref))
+        if not text:
             return []
-        with open(path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
 
     def snapshots(self, ref: str) -> list[str]:
         return [r["snapshot_id"] for r in self._manifest_rows(ref)]
