@@ -173,7 +173,7 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     "sw": frozenset(
         "na ya wa kwa ni za katika la kuwa hii ili kama pia kwamba yake "
         "hiyo watu hata baada wakati sasa lakini ambayo wake kila jana "
-        "leo kote mpya sana".split()
+        "leo kote mpya sana wote hivyo zao yao wao".split()
     ),
     "tl": frozenset(
         "ang ng sa na mga ay at ito para hindi siya ako kanyang niya ko "
@@ -225,11 +225,11 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "la": frozenset(
         "et in est non cum ad ut quod sed quae qui atque enim autem nec "
-        "etiam esse sunt erat omnia sibi quam hoc inter".split()
+        "etiam esse sunt erat omnia sibi quam hoc inter omnes ita iam".split()
     ),
     "so": frozenset(
         "iyo oo ku ka in uu ay waa la aan si ama waxaa waxa kale badan "
-        "markii kadib hore maanta shalay dhan kasta weli".split()
+        "markii kadib hore maanta shalay dhan kasta weli wuxuu isagoo ah waana kana".split()
     ),
     "ha": frozenset(
         "da na ta ya ba ne ce wannan suka yana yake amma ko kuma bayan "
@@ -246,7 +246,7 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     "zu": frozenset(
         "ukuthi futhi kodwa ngoba uma lapho kanye nje phambi emva "
         "namhlanje izolo kakhulu konke manje ngaphambi kusukela "
-        "ngemuva".split()
+        "ngemuva bonke bona kufanele ukuba".split()
     ),
     "mg": frozenset(
         "ny sy dia amin ho izay fa tamin ka any rehefa androany omaly "
@@ -258,19 +258,19 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "lb": frozenset(
         "an de den dem vun ze fir mat och nët net ass sinn hunn ginn mä "
-        "awer haut gëschter elo nach ëmmer ganz".split()
+        "awer haut gëschter elo nach ëmmer ganz säi huet op vu dene denen deen soll kënnt".split()
     ),
     "fy": frozenset(
         "it fan foar mei net oan wol hjoed juster hawwe wurde wurdt "
-        "hiele dochs neffens wylst noch tige yntusken".split()
+        "hiele dochs neffens wylst noch tige yntusken yn hja har oer frij inoar".split()
     ),
     "mi": frozenset(
         "te o i ki a he ngā kei ana mō rātou tēnei tērā engari nō muri "
-        "mua āpōpō inanahi hei puta noa ētahi".split()
+        "mua āpōpō inanahi hei puta noa ētahi nga ratou tenei tetahi hoki kua ko katoa".split()
     ),
     "sn": frozenset(
         "uye kuti ne za asi kana vanhu ichi icho zvino nhasi nezuro "
-        "zvikuru ose pamusoro vose izvo chete".split()
+        "zvikuru ose pamusoro vose izvo chete vese saka vane".split()
     ),
 }
 
@@ -292,14 +292,18 @@ for _lang, _sw in _STOPWORDS.items():
 # (checked first), Belarusian і by its ў, Macedonian џ/љ/њ by its ѓ/ќ/ѕ,
 # Kyrgyz ө/ү by its ң before Mongolian's plain ө/ү.
 _CYR_DISTINCT = [
-    ("tg", re.compile(r"[ҷӣӯҳ]")),
-    ("kk", re.compile(r"[әқұһ]")),
-    ("be", re.compile(r"[ў]")),
-    ("mk", re.compile(r"[ѓќѕ]")),
-    ("uk", re.compile(r"[іїєґ]")),
-    ("sr", re.compile(r"[ђћџљњ]")),
-    ("ky", re.compile(r"[ң]")),
-    ("mn", re.compile(r"[өү]")),
+    # (code, letters, min hits) — letters used by NO other supported
+    # Cyrillic language get min 1 (a single ў IS Belarusian; UDHR-eval
+    # sentences routinely carry exactly one); shared-ish letters keep
+    # the noise floor of 2
+    ("tg", re.compile(r"[ҷӣӯҳ]"), 2),
+    ("kk", re.compile(r"[әқұһ]"), 2),
+    ("be", re.compile(r"[ў]"), 1),
+    ("mk", re.compile(r"[ѓќѕ]"), 1),
+    ("uk", re.compile(r"[іїєґ]"), 2),
+    ("sr", re.compile(r"[ђћџљњ]"), 2),
+    ("ky", re.compile(r"[ң]"), 1),
+    ("mn", re.compile(r"[өү]"), 2),
 ]
 _CYR_STOPWORDS: dict[str, frozenset[str]] = {
     "ru": frozenset(
@@ -318,6 +322,18 @@ _CYR_STOPWORDS: dict[str, frozenset[str]] = {
         "и у не на што он како то по али они она из код за ми ви био "
         "била били овај је су да се као од при ће само".split()
     ),
+    # Macedonian/Kyrgyz often carry none of their distinctive letters
+    # in a single sentence — function words that differ from the
+    # bg/ru neighbours decide: mk во/со/кон/еден (bg във/със/към/един),
+    # ky жана/менен (kk же/мен, ru и/с)
+    "mk": frozenset(
+        "во со од кон еден една сите се да на и не треба како дека "
+        "но тие оваа овој".split()
+    ),
+    "ky": frozenset(
+        "жана менен болуп бар эмес үчүн алар бул ошол бирок дагы "
+        "керек гана кийин".split()
+    ),
 }
 _CYR_PRIO = {lang: i for i, lang in enumerate(_CYR_STOPWORDS)}
 _CYR_WORD2LANGS: dict[str, tuple[str, ...]] = {}
@@ -334,7 +350,9 @@ _ARAB_DISTINCT = [
     ("ur", re.compile(r"[ٹڑےہں]")),
     ("ps", re.compile(r"[ټډړږښۍځڅ]")),   # Pashto retroflexes + ye forms
     ("ug", re.compile(r"[ۇۆۈە]")),        # Uyghur fully-voweled script
-    ("sd", re.compile(r"[ڏڄٻڳڱ]")),       # Sindhi implosives
+    # Sindhi implosives + aspirate digoch letters, the ۽ "and" sign,
+    # and Sindhi's SWASH KAF (U+06AA) where Urdu/Persian write ک
+    ("sd", re.compile(r"[ڏڄٻڳڱڀٿ۽ڪ]")),
     ("fa", re.compile(r"[پچژگکی]")),
 ]
 
@@ -378,11 +396,16 @@ _DEV_STOPWORDS: dict[str, frozenset[str]] = {
     ),
     "mr": frozenset(
         "\u0906\u0939\u0947 \u0906\u0939\u0947\u0924 \u0906\u0923\u093f \u092e\u0927\u094d\u092f\u0947 \u092f\u0947\u0925\u0947 \u092e\u094d\u0939\u0923\u0942\u0928 \u0939\u0947 \u0924\u0947 \u0924\u094d\u092f\u093e \u0915\u0947\u0932\u0940 \u0915\u0947\u0932\u093e \u0939\u094b\u0924\u0947 \u091d\u093e\u0932\u0947 "
-        "\u0905\u0938\u0942\u0928 \u0915\u0930\u0923\u094d\u092f\u093e\u0924 \u092f\u093e\u0902\u0928\u0940 \u0924\u094d\u092f\u093e\u0902\u091a\u094d\u092f\u093e \u0906\u092a\u0932\u094d\u092f\u093e".split()
+        "\u0905\u0938\u0942\u0928 \u0915\u0930\u0923\u094d\u092f\u093e\u0924 \u092f\u093e\u0902\u0928\u0940 \u0924\u094d\u092f\u093e\u0902\u091a\u094d\u092f\u093e \u0906\u092a\u0932\u094d\u092f\u093e "
+        # \u0935 = Marathi "and" (Hindi writes \u0914\u0930); \u0924\u094d\u092f\u093e\u0902\u0928\u093e/\u0924\u094d\u092f\u093e\u0902\u0928\u0940 oblique pronouns
+        "\u0935 \u0924\u094d\u092f\u093e\u0902\u0928\u093e \u0924\u094d\u092f\u093e\u0902\u0928\u0940".split()
     ),
     "ne": frozenset(
         "\u091b \u091b\u0928\u094d \u092a\u0928\u093f \u0917\u0930\u0947\u0915\u094b \u0932\u093e\u0917\u093f \u092d\u090f\u0915\u094b \u0917\u0930\u094d\u0928 \u0939\u094b \u0930\u0939\u0947\u0915\u094b \u0917\u0930\u0940 \u092d\u0928\u0947 \u0924\u0925\u093e \u091b\u0948\u0928 \u0917\u0930\u094d\u0926\u0948 "
-        "\u0939\u0941\u0928\u0947 \u092d\u090f\u0915\u093e \u0917\u0930\u0947\u0915\u093e".split()
+        "\u0939\u0941\u0928\u0947 \u092d\u090f\u0915\u093e \u0917\u0930\u0947\u0915\u093e "
+        # \u0930 = Nepali "and" (no Hindi reading as a standalone word);
+        # \u092a\u0930\u094d\u091b/\u0917\u0930\u094d\u0928\u0941/\u092d\u090f\u0915\u094b\u0932\u0947 high-frequency verb forms
+        "\u0930 \u092a\u0930\u094d\u091b \u0917\u0930\u094d\u0928\u0941 \u092d\u090f\u0915\u094b\u0932\u0947".split()
     ),
 }
 _DEV_PRIO = {lang: i for i, lang in enumerate(_DEV_STOPWORDS)}
@@ -432,8 +455,8 @@ _BG_VOWEL_HARDSIGN_RE = re.compile(r"[а-я]ъ[а-я]")  # ъ as a vowel = bg
 
 
 def _cyrillic_lang(sample: str, words: list[str]) -> str:
-    for code, pat in _CYR_DISTINCT:
-        if len(pat.findall(sample)) >= 2:
+    for code, pat, min_hits in _CYR_DISTINCT:
+        if len(pat.findall(sample)) >= min_hits:
             return code
     low = sample.lower()
     # Bulgarian uses ъ as a VOWEL (interior position, ~2% of letters);
@@ -487,10 +510,50 @@ def detect(text: str) -> str | None:
     words = [w.lower() for w in _WORD_RE.findall(sample)]
     if not words:
         return None
-    best_lang, best_hits = _vote(words, _WORD2LANGS, _LANG_PRIO)
-    if best_lang is not None and best_hits * 12 >= len(words):  # ≥1/12 density
-        return _refine_latin(best_lang, sample.lower())
+    low = sample.lower()
+    hits: dict[str, int] = {}
+    for w in words:
+        for lang in _WORD2LANGS.get(w, ()):
+            hits[lang] = hits.get(lang, 0) + 1
+    # exclusive-orthography boost: letters written by exactly ONE
+    # supported Latin-script language are stronger evidence than any
+    # shared function word (a single ě decides cs over the pt/es "a se
+    # do" collision). +3 votes per occurrence, capped at 6, so a long
+    # text's genuine stopword majority still dominates a stray
+    # foreign-name diacritic.
+    for pat, lang in _LATIN_EXCLUSIVE:
+        n = len(pat.findall(low))
+        if n:
+            hits[lang] = hits.get(lang, 0) + min(3 * n, 6)
+    if not hits:
+        return None
+    best_lang, best_hits = min(
+        hits.items(), key=lambda kv: (-kv[1], _LANG_PRIO[kv[0]]))
+    if best_hits * 12 >= len(words):  # ≥1/12 density
+        return _refine_latin(best_lang, low)
     return None
+
+
+# letters used by exactly one supported Latin-script language (Estonian
+# õ is NOT here — Portuguese shares it; da/no, nl/af, id/ms, pt/gl have
+# no exclusive letters at all and are split post-vote in _LATIN_REFINE)
+_LATIN_EXCLUSIVE: list[tuple["re.Pattern[str]", str]] = [
+    (re.compile(r"[ěů]"), "cs"),
+    (re.compile(r"[ľŕĺ]"), "sk"),
+    (re.compile(r"[őű]"), "hu"),
+    (re.compile(r"ħ|għ"), "mt"),
+    (re.compile(r"[ðþ]"), "is"),
+    (re.compile(r"ə"), "az"),
+    (re.compile(r"[ļķņģ]"), "lv"),
+    (re.compile(r"[ėųį]"), "lt"),
+    (re.compile(r"[șțţ]"), "ro"),
+    (re.compile(r"ł"), "pl"),
+    (re.compile(r"[ơư]"), "vi"),
+    (re.compile(r"[ŵŷ]"), "cy"),
+    (re.compile(r"[ĉĝĥĵŝŭ]"), "eo"),
+    (re.compile(r"[ịụṅ]"), "ig"),
+    (re.compile(r"[ẹṣ]"), "yo"),
+]
 
 
 # orthography refinements for near-identical stopword pairs: the vote
@@ -502,6 +565,31 @@ _LATIN_REFINE: list[tuple[frozenset, "re.Pattern[str]", str]] = [
     (frozenset(("cs", "sk")), re.compile(r"[řů]"), "cs"),
     (frozenset(("da", "no")), re.compile(r"\bå\b|\bav\b|\bikkje\b"), "no"),
     (frozenset(("da", "no")), re.compile(r"\baf\b|\bøjeblik"), "da"),
+    # -het vs -hed nominal suffix and t/d in past participles split the
+    # remaining da/no sentences (rettigheter/utstyrt/mot ↔
+    # rettigheder/udstyret/mod)
+    (frozenset(("da", "no")),
+     re.compile(r"het(er|en)?\b|\butstyrt\b|\bmot\b|\bbrorskap"), "no"),
+    (frozenset(("da", "no")),
+     re.compile(r"hed(er|en)?\b|\budstyret\b|\bmod\b"), "da"),
+    # Estonian õ is shared with Portuguese, so it refines only inside
+    # the fi/et pair (Finnish never writes õ)
+    (frozenset(("fi", "et")), re.compile(r"õ"), "et"),
+    # Afrikaans y-for-ij orthography and its exclusive pronouns
+    (frozenset(("nl", "af")),
+     re.compile(r"\bhulle\b|\bmekaar\b|\bteenoor\b|\bvry\b|\bgelyke?\b"),
+     "af"),
+    # Galician function words inside the Romance cluster it loses
+    # stopword ties to (pt/es/it all outrank it on shared words)
+    (frozenset(("pt", "es", "it", "gl")),
+     re.compile(r"\bdereit\w*|\bunha\b|\bmoi\b|\bxa\b|\btamén\b|\bcos\b"),
+     "gl"),
+    # id/ms split on the function words the standards don't share
+    (frozenset(("id", "ms")),
+     re.compile(r"\bkerana\b|\bmanakala\b|\bhendaklah\b|\bsamarata\b"
+                r"|\bdaripada\b|\biaitu\b"), "ms"),
+    (frozenset(("id", "ms")),
+     re.compile(r"\bhendaknya\b|\bkarena\b|\bbahwa\b"), "id"),
 ]
 
 

@@ -338,7 +338,7 @@ def test_coverage_count_75():
     n_latin = len(langid._STOPWORDS)
     n_script = len([c for c, _ in langid._SCRIPT_RANGES
                     if not c.startswith("@")])
-    n_cyr = len({c for c, _ in langid._CYR_DISTINCT}
+    n_cyr = len({c for c, _, _ in langid._CYR_DISTINCT}
                 | set(langid._CYR_STOPWORDS))
     n_arab = len({c for c, _ in langid._ARAB_DISTINCT}) + 1  # + ar
     n_dev = len(langid._DEV_STOPWORDS)
