@@ -527,17 +527,95 @@ def _lsh_pairs_ctes_duck() -> str:
         )
     """
 
+def star_contraction_labels(sym: DataFrame, max_rounds: int = 32,
+                            rounds_out: list | None = None) -> DataFrame:
+    """Connected-component labels by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — the published shared-nothing CC algorithm; public
+    knowledge, no reference counterpart: the reference never clusters).
+
+    ``sym`` is the symmetric edge frame (src, dst) without self-loops.
+    Returns (doc_id, label) where label = the component's minimum
+    doc_id — the same labeling min-label propagation produced, but in
+    O(log² n) rounds instead of O(diameter): a 10^6-long chain
+    converges in ~a dozen rounds, so no rounds-cap caveat ("hitting the
+    cap leaves a finer partition") is needed.
+
+    Each round is two contraction phases, each one hash-agg shuffle +
+    one equi-join shuffle keyed on node id; per-round
+    ``localCheckpoint`` keeps lineage flat.  Both phases strictly
+    preserve component connectivity, so the fixed point is one star per
+    component rooted at its minimum node.
+
+    If ``rounds_out`` is given, the number of rounds run is appended —
+    the round-count test uses it to pin the logarithmic behavior.
+    """
+    # canonical directed form: every undirected edge once, as (hi, lo)
+    edges = (
+        sym.filter(F.col("src") > F.col("dst"))
+        .select("src", "dst").distinct().localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    prev: tuple | None = None
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # -- large-star: every node v larger than a neighbor u is
+        # re-pointed at m = min(Γ(u) ∪ {u}); each undirected edge is
+        # emitted exactly once, from its smaller endpoint's group
+        und = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = und.groupBy("src").agg(F.min("dst").alias("mv"))
+        edges = (
+            und.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("src"), F.col("mv")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star: edges now all point big→small; each node's
+        # smaller neighbors (and the node itself) attach to their min
+        mins2 = edges.groupBy("src").agg(F.min("dst").alias("mv"))
+        edges = (
+            edges.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("mv").alias("dst"))
+            .union(mins2.select("src", F.col("mv").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point = the star forest reproduces itself: compare the
+        # edge set by (count, order-independent hash) in one agg pass
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            # xor-fold, not sum: order-independent and cannot overflow
+            # under ANSI mode
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"),
+                       F.lit(0)).alias("chk"),
+        ).collect()[0]
+        cur = (sig["n"], sig["chk"])
+        if cur == prev:
+            break
+        prev = cur
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # at the fixed point each non-root points at its component root;
+    # roots (and isolated nodes, if any edge-less nodes were passed)
+    # label themselves
+    return (
+        nodes.join(edges.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("dst", "doc_id").alias("label"))
+    )
+
+
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component labels (doc_id, label) over the jaccard pair
-    graph by min-label propagation.
-
-    Scale notes: each round is one shuffle join keyed on doc_id with a
-    map-side-combinable min aggregate; the labels frame is
-    ``localCheckpoint``-ed per round so lineage doesn't grow with
-    iterations. Duplicate clusters are near-cliques (diameter ≤ 2-3),
-    so the loop converges in a handful of rounds regardless of corpus
-    size — the same shuffle pattern as the large-star/small-star CC
-    algorithm this would become on a 10^12-doc graph.
+    graph via :func:`star_contraction_labels`.
 
     Edge source is ``minhash_lsh_pairs`` — the O(n·bands) banded
     candidate join with exact-jaccard verify — NOT the all-pairs theta
@@ -550,49 +628,8 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
-    # Convergence bound: one round moves the min label one hop, so the
-    # loop runs O(graph diameter) rounds. Near-dup clusters are
-    # near-cliques (diameter ≤ 3-4); the cap is a driver-loop backstop
-    # against pathological chain graphs — hitting it leaves a FINER
-    # partition (long chains split into ≤-cap segments), never a wrong
-    # merge, and real corpora sit far below it.
-    max_rounds = 64
-    rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
-        neigh = (
-            sym.join(labels, sym["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
-            .select(
-                labels["doc_id"].alias("doc_id"),
-                F.least(
-                    labels["label"], F.coalesce(neigh["nlabel"], labels["label"])
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "doc_id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels
+    return star_contraction_labels(sym)
 
 
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
