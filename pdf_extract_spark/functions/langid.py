@@ -6,9 +6,12 @@ We replace it with a deterministic stopword + character-profile scorer —
 pure Python/pandas, broadcast-friendly, no native deps. Accuracy is lower
 than cld3 but deterministic and adequate for doc-majority voting (A3).
 
-Coverage (~85 languages, toward cld3's breadth):
-  * 51 Latin-script languages by inverted-index stopword vote (one pass
-    over the line's words regardless of language count);
+Coverage (~105 languages — cld3's breadth except Bosnian, which cld3
+itself cannot reliably split from hr/sr; measured per-language
+precision/recall on an independent UDHR sample in langid_eval.py):
+  * 62 Latin-script languages by inverted-index stopword vote (one pass
+    over the line's words regardless of language count), with
+    exclusive-orthography vote boosts and confusable-pair refinements;
   * Cyrillic script sub-classified ru/uk/bg/sr/be/mk/kk/ky/mn/tg by
     distinctive letters in significance order (shared letters claimed
     by the earlier entry) then stopword vote;
@@ -16,9 +19,11 @@ Coverage (~85 languages, toward cld3's breadth):
     letters (ur: ٹ ڑ ے ہ ں; ps retroflexes; ug vowels; sd implosives;
     fa: پ چ ژ گ ک ی);
   * Devanagari sub-classified hi/mr/ne by copula/particle vote;
-  * 22 further single-language scripts (CJK, Greek, Hebrew, Thai, the
-    Indic family, Georgian, Armenian, Amharic, Khmer, Lao, Myanmar,
-    Odia, Thaana, Tibetan).
+  * Hebrew script sub-classified he/yi (Yiddish vav/yod ligatures and
+    YIVO pointing);
+  * 21 further single-language scripts (CJK, Greek, Thai, the Indic
+    family, Georgian, Armenian, Amharic, Khmer, Lao, Myanmar, Odia,
+    Thaana, Tibetan).
 """
 
 from __future__ import annotations
@@ -272,6 +277,53 @@ _STOPWORDS: dict[str, frozenset[str]] = {
         "uye kuti ne za asi kana vanhu ichi icho zvino nhasi nezuro "
         "zvikuru ose pamusoro vose izvo chete vese saka vane".split()
     ),
+    # --- cld3 tail (round 4): the remaining Latin-script languages the
+    # reference's cld3 model covers. Appended last = lowest tie-break
+    # priority, so they never steal from the majors on shared words.
+    "ceb": frozenset(  # Cebuano (vs Tagalog: ug/og/dili/kini)
+        "ang sa nga ug mga og dili kini kay gikan apan unya busa niini "
+        "niya kanila usab adunay walay".split()
+    ),
+    "jv": frozenset(  # Javanese
+        "lan kang sing iku ora ana saka karo uga wis bakal iki kanthi "
+        "marang padha sarta dening kabeh saben".split()
+    ),
+    "su": frozenset(  # Sundanese
+        "jeung teh anu dina henteu moal oge katut boga aya ieu ti "
+        "pikeun kudu geus bae mah ku sarua".split()
+    ),
+    "ny": frozenset(  # Chichewa
+        "ndi ndipo ndiponso amene chifukwa koma onse ena kwambiri "
+        "ayenera kuti zonse iwo chake popeza".split()
+    ),
+    "st": frozenset(  # Sesotho
+        "ba ho mme ya tsa ena hore empa haholo bohle ka le ke sa hae "
+        "tse ena eo tsohle".split()
+    ),
+    "xh": frozenset(  # Xhosa (vs Zulu: kwaye where zu writes futhi)
+        "kwaye kuba oku apha ngoku ukuba bonke lo olu kodwa xa ngoko "
+        "kunye nje".split()
+    ),
+    "sm": frozenset(  # Samoan
+        "ua uma latou tatau ona lona lelei lo lava foi nei taimi ananafi "
+        "aso ma le".split()
+    ),
+    "haw": frozenset(  # Hawaiian
+        "kekahi kakou apau loa luna laila me ka ke na ua mai hoi keia "
+        "mau nei".split()
+    ),
+    "gd": frozenset(  # Scottish Gaelic (vs Irish: tha/chan/bhith)
+        "tha ann air aig chan bhith iad gach uile bu dhaibh agus anns "
+        "nach mar seo sin".split()
+    ),
+    "ku": frozenset(  # Kurmanji Kurdish
+        "û di de divê ew ji li bi hev xwe ku wek heye dike were va ev "
+        "me te".split()
+    ),
+    "hmn": frozenset(  # Hmong
+        "thiab tus lub yuav tsum muaj uas cov rau hauv txoj txhua lawv "
+        "nws los tau ntawm".split()
+    ),
 }
 
 # tie-break priority: position in _STOPWORDS (earlier wins)
@@ -364,7 +416,7 @@ _SCRIPT_RANGES = [
     ("@cyr", re.compile(r"[\u0400-\u04ff]")),
     ("@arab", re.compile(r"[\u0600-\u06ff]")),
     ("el", re.compile(r"[\u0370-\u03ff]")),
-    ("he", re.compile(r"[\u0590-\u05ff]")),
+    ("@heb", re.compile(r"[\u0590-\u05ff]")),  # Hebrew script \u2192 he/yi
     ("th", re.compile(r"[\u0e00-\u0e7f]")),
     ("@dev", re.compile(r"[\u0900-\u097f]")),  # Devanagari → hi/mr/ne vote
     ("bn", re.compile(r"[\u0980-\u09ff]")),
@@ -470,6 +522,22 @@ def _cyrillic_lang(sample: str, words: list[str]) -> str:
     return "ru"
 
 
+# Yiddish orthography in Hebrew script: the vav/yod ligatures
+# (U+05F0-05F2: װ ױ ײ) exist ONLY in Yiddish, and pointed
+# alef/pe-rafe (אַ אָ פֿ בֿ — rafe is U+05BF) are standard YIVO spelling
+# where modern Hebrew text is unpointed
+_YI_LIGATURE_RE = re.compile(r"[װ-ײ]")
+_YI_POINTING_RE = re.compile(r"[ַָֿ]")
+
+
+def _hebrew_lang(sample: str) -> str:
+    if _YI_LIGATURE_RE.search(sample) is not None:
+        return "yi"
+    if len(_YI_POINTING_RE.findall(sample)) >= 3:
+        return "yi"
+    return "he"
+
+
 def _arabic_lang(sample: str) -> str:
     for code, pat in _ARAB_DISTINCT:
         if len(pat.findall(sample)) >= 2:
@@ -504,6 +572,8 @@ def detect(text: str) -> str | None:
                     )
                 if code == "@arab":
                     return _arabic_lang(sample)
+                if code == "@heb":
+                    return _hebrew_lang(sample)
                 if code == "@dev":
                     return _devanagari_lang(sample)
                 return code
@@ -590,6 +660,14 @@ _LATIN_REFINE: list[tuple[frozenset, "re.Pattern[str]", str]] = [
                 r"|\bdaripada\b|\biaitu\b"), "ms"),
     (frozenset(("id", "ms")),
      re.compile(r"\bhendaknya\b|\bkarena\b|\bbahwa\b"), "id"),
+    # Xhosa writes kwaye/kuba where Zulu writes futhi/ngoba
+    (frozenset(("zu", "xh")), re.compile(r"\bkwaye\b|\bkuba\b"), "xh"),
+    (frozenset(("zu", "xh")), re.compile(r"\bfuthi\b|\bngoba\b"), "zu"),
+    # Scottish Gaelic tha/chan/bhith vs Irish tá/níl/bheith
+    (frozenset(("ga", "gd")),
+     re.compile(r"\btha\b|\bchan\b|\bbhith\b|\banns\b"), "gd"),
+    (frozenset(("ga", "gd")),
+     re.compile(r"\btá\b|\bníl\b|\bbheith\b|\bagus na\b"), "ga"),
 ]
 
 

@@ -2,8 +2,8 @@
 (VERDICT r3 item 4: a NUMBER for the cld3-replacement claim, against
 text not authored around the detector's stopword tables).
 
-The floors are deliberately below the current measurement (100% micro
-on 174 sentences / 93 languages) so that a future stopword tweak that
+The floors are deliberately below the current measurement (99.5% micro
+on 198 sentences / 105 languages) so that a future stopword tweak that
 costs one confusable sentence fails loudly only when it actually
 degrades the detector, not on noise.
 """
