@@ -117,6 +117,13 @@ def parse_mp4_duration_ms(b: bytes) -> int | None:
     if be - bs < 4:
         return None
     version = b[bs]
+    # bound every field read by the BOX end, not just the buffer:
+    # a corrupt mvhd size would otherwise let unpack_from read the
+    # next box's bytes as timescale/duration and return garbage
+    # instead of the documented None-on-malformed
+    need = 32 if version == 1 else 20
+    if be - bs < need:
+        return None
     try:
         if version == 1:
             # 4 version/flags + 8 ctime + 8 mtime, then u32 timescale,

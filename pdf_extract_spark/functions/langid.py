@@ -523,19 +523,34 @@ def _cyrillic_lang(sample: str, words: list[str]) -> str:
 
 
 # Yiddish orthography in Hebrew script: the vav/yod ligatures
-# (U+05F0-05F2: װ ױ ײ) exist ONLY in Yiddish, and pointed
-# alef/pe-rafe (אַ אָ פֿ בֿ — rafe is U+05BF) are standard YIVO spelling
-# where modern Hebrew text is unpointed
+# (U+05F0-05F2: װ ױ ײ) exist ONLY in Yiddish, and rafe (U+05BF, as in
+# פֿ בֿ) is standard YIVO spelling but vanishingly rare in Hebrew.
+# Patah/qamats alone are NOT evidence — they are ordinary niqqud, and
+# pointed Hebrew (Bibles, prayer books, children's text) is a common
+# PDF corpus; instead we vote on Yiddish function words that have no
+# Hebrew homograph (Germanic core vocabulary), with points stripped so
+# both YIVO-pointed and unpointed Yiddish match.
 _YI_LIGATURE_RE = re.compile(r"[װ-ײ]")
-_YI_POINTING_RE = re.compile(r"[ַָֿ]")
+_YI_RAFE_RE = re.compile(r"ֿ")
+_HEB_POINTS_RE = re.compile(r"[֑-ׇ]")
+_YI_STOPWORDS = frozenset(
+    "איז דער מיט אויף אױף זיך נישט ניט האט וואס פאר פון ווערט יעדער "
+    "זאל אזוי נאך אלע מענטש געווען וועט דאזיקע צווישן".split()
+)
 
 
 def _hebrew_lang(sample: str) -> str:
     if _YI_LIGATURE_RE.search(sample) is not None:
         return "yi"
-    if len(_YI_POINTING_RE.findall(sample)) >= 3:
+    if len(_YI_RAFE_RE.findall(sample)) >= 2:
         return "yi"
-    return "he"
+    bare = _HEB_POINTS_RE.sub("", sample)
+    yid = sum(
+        1
+        for w in bare.split()
+        if w.strip(".,;:!?()[]\"'׳״־") in _YI_STOPWORDS
+    )
+    return "yi" if yid >= 2 else "he"
 
 
 def _arabic_lang(sample: str) -> str:

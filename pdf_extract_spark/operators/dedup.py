@@ -416,12 +416,7 @@ def incremental_pairs_against_sketch(new_docs: DataFrame,
         F.col("n_sh").alias("new_n_sh"),
         "band_idx", "band_key",
     )
-    corp = sketch.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("sh").alias("corpus_sh"),
-        F.col("n_sh").alias("corpus_n_sh"),
-        "band_idx", "band_key",
-    )
+    corp = corpus_rename(sketch)
     jac = K.jaccard("new_sh", "corpus_sh", "new_n_sh", "corpus_n_sh", SPARK)
     return (
         nb.join(corp, ["band_idx", "band_key"])
@@ -555,7 +550,15 @@ def star_contraction_labels(sym: DataFrame, max_rounds: int = 32,
         sym.filter(F.col("src") > F.col("dst"))
         .select("src", "dst").distinct().localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    # node set from the CHECKPOINTED edges, not from sym: sym is the
+    # caller's lazy (and expensive — full LSH pipeline) plan, and since
+    # it is symmetric without self-loops every node survives the
+    # canonicalization above.  Reading sym here would re-execute the
+    # whole pair plan a second time at the final labels join.
+    first = edges.select(F.col("src").alias("doc_id"))
+    nodes = first.union(
+        edges.select(F.col("dst").alias("doc_id"))
+    ).distinct()
     prev: tuple | None = None
     rounds = 0
     while rounds < max_rounds:
@@ -736,6 +739,20 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
     return bands
 
 
+def corpus_rename(bands: DataFrame) -> DataFrame:
+    """Rename sketch rows to the ``corpus_*`` side of an
+    ingest-vs-corpus join — the ONE definition shared by the batch
+    incremental join (:func:`incremental_pairs_against_sketch`) and the
+    streaming stream-static join (``streaming.windows``), so a sketch
+    schema change cannot drift the two consumers apart."""
+    return bands.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh").alias("corpus_sh"),
+        F.col("n_sh").alias("corpus_n_sh"),
+        "band_idx", "band_key",
+    )
+
+
 def write_sketch_table(spark: SparkSession, docs: DataFrame, table: str,
                        path: str, buckets: int = 64) -> None:
     """Materialize the banded MinHash sketch as a BUCKETED, sorted
@@ -787,7 +804,15 @@ def ensure_sketch_table(spark: SparkSession, sf_dir: str,
     got = _SKETCH_TABLES.get(key)
     if got is not None and spark.catalog.tableExists(got):
         return got
-    tag = re.sub(r"\W+", "_", os.path.basename(os.path.abspath(sf_dir)))
+    # tag carries a digest of the FULL path: two corpora that share a
+    # basename (/a/corpus vs /b/corpus) must not collide on one table
+    # name / warehouse path, or the second overwrite silently serves
+    # the wrong corpus' signatures to the first corpus' memo entry
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir)
+    digest = hashlib.sha1(abs_dir.encode()).hexdigest()[:10]
+    tag = re.sub(r"\W+", "_", os.path.basename(abs_dir)) + "_" + digest
     table = f"pdfx_sketch_{tag}"
     path = os.path.join(tempfile.gettempdir(), f"pdfx_sketch_{tag}")
     write_sketch_table(spark, _docs(spark, sf_dir), table, path,

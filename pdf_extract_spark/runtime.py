@@ -66,13 +66,15 @@ def ensure_parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition an under-parallel file scan across the cluster;
     leave already-parallel scans untouched (no gratuitous shuffle).
 
-    Gate: file count below target parallelism.  A single oversized file
-    still splits by ``spark.sql.files.maxPartitionBytes``, so the worst
-    case of the file-count proxy is one redundant ~KB/row shuffle on a
-    monolithic-file corpus — while the common production layout
-    (many files) is guaranteed untouched.  Override with the conf
-    ``spark.pdfx.scan.repartition`` = ``auto`` (default) | ``never`` |
-    ``always``."""
+    Gate: the scan's actual partition count when the RDD API is
+    available (classic Spark — this respects ``maxPartitionBytes``
+    splitting, so a corpus of few LARGE files that already scans wide
+    is left alone), falling back to the file-count proxy only under
+    Spark Connect, where no RDD probe exists.  The proxy's worst case
+    is one redundant ~KB/row shuffle on a monolithic-file corpus; the
+    common production layout (many files) is untouched either way.
+    Override with the conf ``spark.pdfx.scan.repartition`` = ``auto``
+    (default) | ``never`` | ``always``."""
     try:
         mode = spark.conf.get("spark.pdfx.scan.repartition", "auto")
     except Exception:
@@ -80,6 +82,11 @@ def ensure_parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     if mode == "never":
         return df
     par = target_parallelism(spark)
-    if mode == "always" or len(df.inputFiles()) < par:
-        return df.repartition(par)
-    return df
+    if mode != "always":
+        try:
+            width = df.rdd.getNumPartitions()
+        except Exception:  # Spark Connect: no RDD handle
+            width = len(df.inputFiles())
+        if width >= par:
+            return df
+    return df.repartition(par)

@@ -51,6 +51,7 @@ class _HadoopFS:
     def __init__(self, spark: SparkSession):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._gateway = spark.sparkContext._gateway
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -76,21 +77,25 @@ class _HadoopFS:
             return None
         stream = fs.open(jp)
         try:
-            reader = self._jvm.java.io.BufferedReader(
-                self._jvm.java.io.InputStreamReader(stream, "UTF-8"))
-            lines = []
-            line = reader.readLine()
-            while line is not None:
-                lines.append(line)
-                line = reader.readLine()
-            return "\n".join(lines) + ("\n" if lines else "")
+            # one JVM call for the whole file (commons-io ships with
+            # Spark): a per-line BufferedReader loop costs one py4j
+            # round trip per manifest row, i.e. O(snapshots) RPCs per
+            # read and O(n²) over a table's commit history
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream)
+            return bytes(data).decode("utf-8")
         finally:
             stream.close()
 
     def write_text_atomic(self, p: str, text: str) -> None:
-        """Write via a temp sibling + rename — a reader never observes a
-        partially-written file (rename is atomic on HDFS/POSIX; on
-        object stores it is copy-then-delete of a complete object)."""
+        """Write via a temp sibling + overwrite-rename — a reader never
+        observes a partially-written OR missing file.  The rename goes
+        through ``FileContext.rename(..., Rename.OVERWRITE)``, which is
+        a single atomic op on HDFS/POSIX (no delete-then-rename window
+        where the manifest does not exist); on object stores it is
+        copy-then-delete of a complete object, so readers see the old
+        or the new manifest, never neither — the documented delta vs a
+        catalog-arbitrated Iceberg swap."""
         tmp = f"{p}.tmp.{uuid.uuid4().hex}"
         fs, jtmp, jdst = self._fs(p), self._path(tmp), self._path(p)
         out = fs.create(jtmp, True)
@@ -98,11 +103,17 @@ class _HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        if fs.exists(jdst):
-            fs.delete(jdst, False)
-        if not fs.rename(jtmp, jdst):
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jdst.toUri(), self._conf)
+            rename_cls = getattr(self._jvm.org.apache.hadoop.fs,
+                                 "Options$Rename")
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            fc.rename(jtmp, jdst, opts)
+        except Exception as exc:
             fs.delete(jtmp, False)
-            raise IOError(f"manifest rename failed: {tmp} -> {p}")
+            raise IOError(f"manifest rename failed: {tmp} -> {p}") from exc
 
 
 class _PosixFS:

@@ -277,12 +277,11 @@ def dedup_docs_stream(docs: DataFrame,
 
 
 def _corpus_rename(bands: DataFrame) -> DataFrame:
-    return bands.select(
-        F.col("doc_id").alias("corpus_id"),
-        F.col("sh").alias("corpus_sh"),
-        F.col("n_sh").alias("corpus_n_sh"),
-        "band_idx", "band_key",
-    )
+    # single definition in operators.dedup, shared with the batch
+    # incremental join — see dedup.corpus_rename
+    from ..operators.dedup import corpus_rename
+
+    return corpus_rename(bands)
 
 
 def corpus_sketch(docs: DataFrame):

@@ -369,3 +369,29 @@ def test_round3_midtail_second_sentences():
     }
     for lang, s in cases.items():
         assert detect(s) == lang, (lang, detect(s))
+
+
+def test_pointed_hebrew_is_not_yiddish():
+    """Ordinary niqqud (patah/qamats/…) is NOT Yiddish evidence —
+    pointed Hebrew (Bibles, prayer books, children's books) is a common
+    PDF corpus and must stay ``he``; Yiddish is decided by its
+    exclusive ligatures, rafe, or Germanic function words."""
+    from pdf_extract_spark.functions.langid import detect
+
+    pointed_he = [
+        "בְּרֵאשִׁית בָּרָא אֱלֹהִים אֵת הַשָּׁמַיִם וְאֵת הָאָרֶץ׃",
+        "וַיֹּאמֶר אֱלֹהִים יְהִי אוֹר וַיְהִי־אוֹר׃ וַיַּרְא אֱלֹהִים אֶת־הָאוֹר כִּי־טוֹב׃",
+        "שְׁמַע יִשְׂרָאֵל יְהוָה אֱלֹהֵינוּ יְהוָה אֶחָד וְאָהַבְתָּ אֵת יְהוָה אֱלֹהֶיךָ בְּכָל־לְבָבְךָ",
+    ]
+    for s in pointed_he:
+        assert detect(s) == "he", (s, detect(s))
+    # unpointed, ligature-free (Soviet-orthography) Yiddish still
+    # routes via the function-word vote
+    soviet_yi = (
+        "יעדער מענטש איז געבוירן פריי און גלייך מיט כבוד "
+        "און רעכט און זאל זיך פירן מיט ברודערשאפט"
+    )
+    assert detect(soviet_yi) == "yi"
+    # YIVO-pointed Yiddish routes via ligatures/rafe
+    yivo_yi = "יעדער מענטש װערט געבױרן פֿרײַ און גלײַך אין כּבֿוד און רעכט."
+    assert detect(yivo_yi) == "yi"

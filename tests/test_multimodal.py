@@ -986,6 +986,21 @@ class TestContainerDurations:
         for cut in (0, 5, 13, 30, len(full) - 1):
             parse_mp4_duration_ms(full[:cut])
 
+    def test_mp4_short_mvhd_box_returns_none_not_next_boxs_bytes(self):
+        from pdf_extract_spark.functions.containerdec import (
+            parse_mp4_duration_ms,
+        )
+
+        # an mvhd whose declared size ends before its duration fields,
+        # with a sibling box right after: field reads bounded only by
+        # the BUFFER would decode the sibling's bytes as a bogus
+        # non-None duration
+        ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+        short_mvhd = _mp4_box(b"mvhd", b"\x00\x00\x00\x00\x00\x00\x00\x00")
+        sibling = _mp4_box(b"trak", b"\x7f" * 64)
+        moov = _mp4_box(b"moov", short_mvhd + sibling)
+        assert parse_mp4_duration_ms(ftyp + moov) is None
+
     def test_webm_default_scale(self):
         from pdf_extract_spark.functions.containerdec import (
             parse_webm_duration_ms,

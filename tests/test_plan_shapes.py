@@ -212,3 +212,33 @@ def test_streaming_corpus_sketch_from_table_is_pure_scan(spark, tmp_path):
         assert got == want and got
     finally:
         spark.sql("DROP TABLE IF EXISTS sketch_stream_t")
+
+
+def test_ensure_sketch_table_distinct_for_same_basename(spark, tmp_path):
+    """Two corpora that share a directory BASENAME must not share one
+    sketch table/warehouse path: the second materialization would
+    silently overwrite the first and serve the wrong corpus' signatures
+    to the first corpus' memoized table name."""
+    from pdf_extract_spark.operators import dedup
+
+    rows_a = [("a1", "alpha " * 30), ("a2", "alpha " * 30)]
+    rows_b = [("b1", "omega " * 30), ("b2", "omega " * 30)]
+    dirs = []
+    for name, rows in (("one", rows_a), ("two", rows_b)):
+        d = tmp_path / name / "corpus"
+        spark.createDataFrame(rows, "doc_id string, text string") \
+            .coalesce(1).write.parquet(str(d / "documents.parquet"))
+        dirs.append(str(d))
+    t_a = t_b = None
+    try:
+        t_a = dedup.ensure_sketch_table(spark, dirs[0], buckets=2)
+        t_b = dedup.ensure_sketch_table(spark, dirs[1], buckets=2)
+        assert t_a != t_b
+        ids_a = {r.doc_id for r in spark.table(t_a).select("doc_id").collect()}
+        ids_b = {r.doc_id for r in spark.table(t_b).select("doc_id").collect()}
+        assert ids_a == {"a1", "a2"}
+        assert ids_b == {"b1", "b2"}
+    finally:
+        for t in (t_a, t_b):
+            if t:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
