@@ -254,3 +254,11 @@ def jaccard(a: str, b: str, na: str, nb: str, d: str) -> str:
     """|a∩b| / |a∪b| over distinct-element arrays with precomputed sizes."""
     inter = aintersect_size(a, b, d)
     return f"round(cast({inter} as double) / ({na} + {nb} - {inter}), 6)"
+
+
+def containment(a: str, b: str, na: str, nb: str, d: str) -> str:
+    """Max-direction set containment |a∩b| / min(|a|,|b|) — Broder's
+    containment coefficient: 1.0 when the smaller set is a subset of
+    the larger, regardless of the size gap that keeps jaccard low."""
+    inter = aintersect_size(a, b, d)
+    return f"round(cast({inter} as double) / least({na}, {nb}), 6)"

@@ -412,3 +412,161 @@ def passage_boilerplate_oracle() -> str:
         from ex join dfreq on ex.h = dfreq.h
         group by ex.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 scored retrieval (training-data curation by query relevance)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+#: fixed query term set for the registered query (a production caller
+#: passes its own); terms chosen from the synthetic corpus vocabulary
+BM25_QUERY = ("merge", "window", "stream")
+
+
+def _bm25_contrib(tf: str, dft: str, dl: str, n: str, avgdl: str) -> str:
+    """Per-(doc, term) BM25 contribution in integer MICRO-UNITS — the
+    one float expression is emitted textually identical for both
+    engines (same IEEE ops in the same order), then rounded to a bigint
+    so the per-doc SUM is exact integer math, immune to the
+    float-addition reorder a hash aggregate is free to do."""
+    # float literals carry an exponent (0.5e0): a bare `0.5` parses as
+    # DECIMAL in both engines, and decimal scale rules differ — e-form
+    # forces DOUBLE so the whole expression is identical IEEE math
+    idf = f"ln(1e0 + ({n} - {dft} + 0.5e0) / ({dft} + 0.5e0))"
+    norm = (f"(({tf} * {BM25_K1 + 1}e0) / "
+            f"({tf} + {BM25_K1}e0 * "
+            f"(1e0 - {BM25_B}e0 + {BM25_B}e0 * {dl} / {avgdl})))")
+    return f"cast(round(1000000 * {idf} * {norm}) as bigint)"
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by BM25 (Robertson/Sparck-Jones, public formula;
+    k1=1.2, b=0.75) for a fixed query term set — retrieval-scored
+    curation: "give me the corpus slice most relevant to X" is how
+    domain-targeted training subsets get carved at scale.
+
+    Plan shape at 100 TB: the explode is scan-local and immediately
+    filtered to the query terms (a few rows per doc survive), term
+    document-frequencies are a tiny broadcast (|query| rows), the only
+    real shuffle is the (doc_id) hash-agg of integer scores, and top-k
+    is a single-partition sort of per-partition prefilter winners
+    (Spark's TakeOrderedAndProject). Scores are integer micro-units end
+    to end — see _bm25_contrib."""
+    from pyspark.sql.window import Window
+
+    t = _tok_frame(spark, sf_dir).select(
+        "doc_id", "toks", F.expr(K.asize("toks", SPARK)).alias("dl"))
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    occ = (
+        t.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+    )
+    tf = occ.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dft = occ.groupBy("term").agg(F.countDistinct("doc_id").alias("dft"))
+    contrib = _bm25_contrib(
+        "tf", "dft", "dl",
+        "n_docs", "(sum_dl / cast(n_docs as double))")
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(contrib).alias("c_u"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_u").alias("score_u"))
+    )
+    # distributed top-k FIRST (TakeOrderedAndProject: per-partition
+    # heads, no global sort), THEN the rank window over only k rows —
+    # a bare rank window here would single-partition every scored doc
+    top = scored.orderBy(
+        F.col("score_u").desc(), F.col("doc_id")).limit(BM25_TOPK)
+    win = Window.orderBy(F.col("score_u").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rk", F.row_number().over(win).cast("bigint"))
+        .select("doc_id", "score_u", "rk")
+    )
+
+
+def bm25_topk_oracle() -> str:
+    terms = ", ".join(f"'{q}'" for q in BM25_QUERY)
+    toks = K.tokens("text", DUCK)
+    contrib = _bm25_contrib(
+        "tf", "dft", "dl",
+        "n_docs", "(sum_dl / cast(n_docs as double))")
+    return f"""
+        with t as (
+            select doc_id, {toks} as toks from documents
+        ),
+        sized as (select doc_id, toks, {K.asize('toks', DUCK)} as dl from t),
+        stats as (select count(*) as n_docs, sum(dl) as sum_dl from sized),
+        occ as (
+            select doc_id, dl, unnest(toks) as term from sized
+        ),
+        qocc as (select * from occ where term in ({terms})),
+        tf as (select doc_id, dl, term, count(*) as tf
+               from qocc group by doc_id, dl, term),
+        dft as (select term, count(distinct doc_id) as dft
+                from qocc group by term),
+        scored as (
+            select tf.doc_id, sum({contrib}) as score_u
+            from tf join dft using (term) cross join stats
+            group by tf.doc_id
+        )
+        select doc_id, score_u,
+               cast(row_number() over (order by score_u desc, doc_id)
+                    as bigint) as rk
+        from scored
+        qualify rk <= {BM25_TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-source quota sampling (the per-host cap of web-corpus curation)
+# ---------------------------------------------------------------------------
+
+SOURCE_QUOTA = 10
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: keep at most ``SOURCE_QUOTA`` docs per
+    ``source``, chosen by a deterministic hash order — the per-host cap
+    every web-scale corpus applies so no single crawl host dominates
+    the training mix. Hash order (not doc_id order) makes the kept set
+    a uniform pseudo-random sample that is stable across runs,
+    partitionings, and cluster sizes.
+
+    Plan shape at 100 TB: one shuffle keyed on ``source`` for the
+    within-source rank. Host-key skew is real (a giant host vs tiny
+    ones) and this window form is exact; when a host exceeds executor
+    memory, the standard relaxation is threshold sampling — keep docs
+    with hash < quota/|host| × PRIME using a broadcast per-host count
+    (two scans, zero windows, approximate quota) — documented here as
+    the overflow path, not implemented separately."""
+    from pyspark.sql.window import Window
+
+    hv = K.polyhash("concat(source, '|', cast(doc_id as string))", SPARK)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(hv).alias("hv"))
+    win = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("sample_rank") <= SOURCE_QUOTA)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+def source_quota_sample_oracle() -> str:
+    hv = K.polyhash("concat(source, '|', cast(doc_id as varchar))", DUCK)
+    return f"""
+        with h as (select doc_id, source, {hv} as hv from documents)
+        select doc_id, source,
+               cast(row_number() over (partition by source
+                                       order by hv, doc_id)
+                    as bigint) as sample_rank
+        from h
+        qualify sample_rank <= {SOURCE_QUOTA}
+    """

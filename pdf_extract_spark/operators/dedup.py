@@ -168,6 +168,109 @@ def ngram_jaccard_pairs_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# set containment (prefix-filtered containment join, PPJoin-style)
+# ---------------------------------------------------------------------------
+
+#: containment threshold as an exact rational (4/5 = 0.8): the probe
+#: count must be integer-exact in BOTH engines, so no float τ anywhere
+#: in candidate generation
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+CONTAIN_TAU = CONTAIN_NUM / CONTAIN_DEN
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-substring detection: pairs with max-direction shingle
+    containment |A∩B| / min(|A|,|B|) ≥ τ — the duplicates jaccard
+    misses when one document CONTAINS the other (quote farms, page
+    aggregations, boilerplate-wrapped mirrors: |A∩B|/|A∪B| shrinks with
+    the size gap, |A∩B|/|A| does not).
+
+    Candidate generation is a LOSSLESS prefix filter (the PPJoin-family
+    trick, public knowledge): order every document's shingles by global
+    document frequency (rarest first, shingle hash as the total
+    tie-break), and probe with the first ``n - ⌈τ·n⌉ + 1`` of them.  If
+    |A∩B| ≥ τ·min(|A|,|B|), then — taking A as the smaller side —
+    fewer than ``(1-τ)·|A| + 1`` of A's shingles are missing from B,
+    so at least one probe of A hits B's inverted index.  Completeness
+    needs no assumption about WHICH subset probes; choosing the
+    globally rarest minimizes the index fan-out.
+
+    Scale shape: one explode (scan-local), one hash-agg for document
+    frequencies, one window over doc_id for the probe rank, one
+    equi-join probe⋈index on the shingle hash, then the exact verify on
+    candidates only — O(n·probes) with no quadratic stage.  A corpus-
+    hot shingle (df ~ n) inflates the index side of its join key, but
+    hot shingles are by construction never chosen as probes for any doc
+    that has a rarer alternative; residual skew lands in AQE's
+    skew-join split.  The DuckDB oracle replays the identical plan, so
+    losslessness is cross-checked: any pruned true pair would hash-
+    mismatch the verify output."""
+    from pyspark.sql.window import Window
+
+    s = _shingled(spark, sf_dir, reuse=True)
+    occ = s.select("doc_id", "n_sh", F.explode("sh").alias("h"))
+    freq = occ.groupBy("h").agg(F.count("*").alias("df"))
+    # probe count = n - ⌈τ·n⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) DIV 5
+    win = Window.partitionBy("doc_id").orderBy("df", "h")
+    probes = (
+        occ.join(freq, "h")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= F.expr(
+            f"n_sh - ((({CONTAIN_NUM} * n_sh + {CONTAIN_DEN - 1})"
+            f" DIV {CONTAIN_DEN})) + 1"))
+        .select(F.col("doc_id").alias("pid"), "h")
+    )
+    cand = (
+        probes.join(occ.select(F.col("doc_id").alias("iid"), "h"), "h")
+        .filter(F.col("pid") != F.col("iid"))
+        .select(
+            F.least("pid", "iid").alias("doc_id_a"),
+            F.greatest("pid", "iid").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    cont = K.containment("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", SPARK)
+    sh = s.select("doc_id", "sh", "n_sh")
+    return (
+        cand.join(sh.alias("sa"), cand["doc_id_a"] == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), cand["doc_id_b"] == F.col("sb.doc_id"))
+        .select("doc_id_a", "doc_id_b", F.expr(cont).alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+    )
+
+
+def containment_pairs_oracle() -> str:
+    cont = K.containment("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", DUCK)
+    return f"""
+        with {_SHINGLED_CTE_DUCK},
+        occ as (select doc_id, n_sh, unnest(sh) as h from sized),
+        freq as (select h, count(*) as df from occ group by h),
+        probes as (
+            select doc_id as pid, h from (
+                select o.doc_id, o.h, o.n_sh,
+                       row_number() over (partition by o.doc_id
+                                          order by f.df, o.h) as rn
+                from occ o join freq f using (h)
+            )
+            where rn <= n_sh
+                        - (({CONTAIN_NUM} * n_sh + {CONTAIN_DEN - 1})
+                           // {CONTAIN_DEN}) + 1
+        ),
+        cand as (
+            select distinct least(p.pid, o.doc_id) as doc_id_a,
+                            greatest(p.pid, o.doc_id) as doc_id_b
+            from probes p join occ o using (h)
+            where p.pid <> o.doc_id
+        )
+        select cand.doc_id_a, cand.doc_id_b, {cont} as containment
+        from cand
+        join sized sa on cand.doc_id_a = sa.doc_id
+        join sized sb on cand.doc_id_b = sb.doc_id
+        where {cont} >= {CONTAIN_NUM} / {CONTAIN_DEN}
+    """
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

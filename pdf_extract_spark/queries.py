@@ -33,7 +33,12 @@ Grouping (SURVEY.md §2 ids in parens):
     text_token_stats, text_quality, text_gopher_quality (composite
     Gopher-rule filter), text_repetition (top-bigram ratio),
     text_langid, text_fingerprint,
-    text_passage_boilerplate (cross-doc repeated-passage flagging)
+    text_passage_boilerplate (cross-doc repeated-passage flagging),
+    dedup_containment (prefix-filtered set-containment join — the
+    near-substring duplicates jaccard misses),
+    text_bm25_topk (BM25-scored retrieval, integer micro-unit scores),
+    source_quota_sample (per-source quota cap, the per-host sampling
+    of web-corpus curation)
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
@@ -540,6 +545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg": distinct_agg,
     "dedup_exact": dedup.exact_duplicates,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+    "dedup_containment": dedup.containment_pairs,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash": dedup.simhash_pairs,
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
@@ -559,6 +565,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": textstats.quality_scores,
     "text_langid": textstats.langid_heuristic,
     "text_fingerprint": textstats.fingerprints,
+    "text_bm25_topk": textstats.bm25_topk,
+    "source_quota_sample": textstats.source_quota_sample,
     "text_normalize": text_normalize,
     "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
@@ -582,6 +590,7 @@ ORACLES: dict[str, str] = {
     "distinct_agg": DISTINCT_AGG_SQL,
     "dedup_exact": dedup.exact_duplicates_oracle(),
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_oracle(),
+    "dedup_containment": dedup.containment_pairs_oracle(),
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs_oracle(),
     "dedup_simhash": dedup.simhash_pairs_oracle(),
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
@@ -603,6 +612,8 @@ ORACLES: dict[str, str] = {
     "text_quality": textstats.quality_scores_oracle(),
     "text_langid": textstats.langid_heuristic_oracle(),
     "text_fingerprint": textstats.fingerprints_oracle(),
+    "text_bm25_topk": textstats.bm25_topk_oracle(),
+    "source_quota_sample": textstats.source_quota_sample_oracle(),
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_context_words": TEXT_CONTEXT_WORDS_SQL,
     "multimodal_features": multimodal.multimodal_features_oracle(),

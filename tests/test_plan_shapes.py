@@ -70,12 +70,28 @@ def test_dedup_queries_no_python_no_cartesian(spark):
 
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                  "dedup_incremental", "dedup_sketch_pairs",
-                 "simhash_fingerprints"):
+                 "simhash_fingerprints", "dedup_containment",
+                 "source_quota_sample"):
         plan = _physical(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bm25_plan_shape(spark):
+    """text_bm25_topk: term doc-frequencies broadcast (tiny build
+    side), the ONLY nested loop is the 1-row corpus-stats broadcast,
+    the top-k is a TakeOrderedAndProject (distributed heads, no global
+    sort of the scored frame), and no Python eval nodes."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["text_bm25_topk"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
 
 
 def test_gated_repartition_skips_parallel_input(spark, tmp_path):

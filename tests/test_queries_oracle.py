@@ -251,3 +251,75 @@ def test_bitslice_parity_negative_values(spark):
             + f" from (select unnest({vals}) as phash)").fetchall()]
         want = [(v >> sh) & 65535 for v in vals]
         assert got_s == got_d == want, sh
+
+
+def test_containment_prefix_filter_lossless(spark, duck):
+    """The prefix-filtered containment join must equal the BRUTE-FORCE
+    all-pairs containment — an independent completeness check (the
+    registered oracle replays the same prefix plan; this one does not)."""
+    from pdf_extract_spark.functions import sqlkit as K
+    from pdf_extract_spark.operators import dedup
+
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.containment)
+        for r in dedup.containment_pairs(spark, SF_DIR).collect()
+    }
+    cont = K.containment("a.sh", "b.sh", "a.n_sh", "b.n_sh", K.DUCK)
+    brute = {
+        tuple(row)
+        for row in duck.sql(f"""
+            with {dedup._SHINGLED_CTE_DUCK}
+            select a.doc_id, b.doc_id, {cont}
+            from sized a join sized b on a.doc_id < b.doc_id
+            where {cont} >= {dedup.CONTAIN_NUM} / {dedup.CONTAIN_DEN}
+        """).fetchall()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_jaccard_pairs_subset_of_containment(spark):
+    """jaccard >= tau implies containment >= tau (i/(na+nb-i) >= t gives
+    i >= t/(1+t)*(na+nb) >= 2t/(1+t)*min >= t*min for t <= 1), so every
+    jaccard near-dup pair must also be a containment pair."""
+    from pdf_extract_spark.operators import dedup
+
+    jac = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    cont = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.containment_pairs(spark, SF_DIR).collect()
+    }
+    assert jac <= cont
+
+
+def test_source_quota_cap_and_stability(spark):
+    """Every source is capped at SOURCE_QUOTA, and the kept set is a
+    pure function of (source, doc_id) — identical under repartition."""
+    from pdf_extract_spark.functions.textstats import (
+        SOURCE_QUOTA, source_quota_sample,
+    )
+
+    rows = source_quota_sample(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        per[r.source] = per.get(r.source, 0) + 1
+        assert 1 <= r.sample_rank <= SOURCE_QUOTA
+    assert per and max(per.values()) <= SOURCE_QUOTA
+    again = source_quota_sample(spark, SF_DIR).collect()
+    assert {(r.doc_id, r.sample_rank) for r in rows} == \
+        {(r.doc_id, r.sample_rank) for r in again}
+
+
+def test_bm25_rank_contract(spark):
+    """Ranks are 1..k with strictly descending-or-tie-broken scores and
+    positive integer micro-unit values."""
+    from pdf_extract_spark.functions.textstats import BM25_TOPK, bm25_topk
+
+    rows = sorted(bm25_topk(spark, SF_DIR).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, min(BM25_TOPK, len(rows)) + 1))
+    assert len(rows) > 0
+    for a, b in zip(rows, rows[1:]):
+        assert (a.score_u, -a.doc_id) >= (b.score_u, -b.doc_id)
+        assert a.score_u > 0
