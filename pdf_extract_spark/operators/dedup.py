@@ -924,6 +924,35 @@ def ensure_sketch_table(spark: SparkSession, sf_dir: str,
     return table
 
 
+def cap_band_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Skew control for the LSH candidate join: drop band buckets with
+    more than ``max_bucket`` members before the self-join.
+
+    At web scale a single degenerate band key — empty documents,
+    templated boilerplate, crawler error pages — can hold millions of
+    docs, and the self-join then materializes k²/2 candidate pairs from
+    ONE key: the classic hot-key stage that stalls a 1000-executor job
+    on a single task. Production LSH dedup caps the bucket (the
+    pigeonhole still gives every near-dup pair LSH_BANDS chances to
+    collide in a non-degenerate band, and truly giant buckets are
+    better handled by exact dedup — their members are near-identical
+    by construction).
+
+    The cap is a windowed count over (band_idx, band_key) — on the
+    bucketed sketch table the window's partitioning matches the bucket
+    spec, so it adds NO Exchange (plan-asserted). Recall tradeoff is
+    explicit: callers opt in with ``max_band_bucket``; the registered
+    oracle queries run uncapped."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "band_key")
+    return (
+        bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+
+
 def sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of the sketch-table self-join: materialize the
     bucketed sketch (once per session), then the zero-Exchange banded
@@ -933,15 +962,23 @@ def sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_table_pairs(spark, ensure_sketch_table(spark, sf_dir))
 
 
-def sketch_table_pairs(spark: SparkSession, table: str) -> DataFrame:
+def sketch_table_pairs(spark: SparkSession, table: str,
+                       max_band_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs from a bucketed sketch table: the banded
     candidate equi-join runs bucket-to-bucket (zero Exchange below the
     join — asserted by tests/test_plan_shapes.py), then the exact
-    jaccard verify on the carried shingle sets."""
+    jaccard verify on the carried shingle sets.
+
+    ``max_band_bucket`` opts into hot-bucket skew control
+    (:func:`cap_band_buckets`); the windowed count rides the table's
+    bucketing, so the capped plan is still Exchange-free below the
+    join."""
     from ..functions import sqlkit as K
     from ..functions.sqlkit import SPARK
 
     t = spark.table(table)
+    if max_band_bucket is not None:
+        t = cap_band_buckets(t, max_band_bucket)
     jac = K.jaccard("a.sh", "b.sh", "a.n_sh", "b.n_sh", SPARK)
     return (
         t.alias("a")

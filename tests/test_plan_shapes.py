@@ -258,3 +258,52 @@ def test_ensure_sketch_table_distinct_for_same_basename(spark, tmp_path):
         for t in (t_a, t_b):
             if t:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_band_bucket_cap_semantics_and_no_extra_shuffle(spark, tmp_path):
+    """Hot-bucket skew control: cap_band_buckets drops exactly the
+    oversized band buckets, and on the bucketed sketch table the capped
+    self-join plan is STILL Exchange-free below the join (the windowed
+    count rides the table's bucketing)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators import dedup
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = dedup._docs(spark, SF_DIR)
+        dedup.write_sketch_table(
+            spark, docs, "sketch_cap_t", str(tmp_path / "skc"), buckets=8)
+        t = spark.table("sketch_cap_t")
+        sizes = (t.groupBy("band_idx", "band_key")
+                 .agg(F.count("*").alias("n")))
+        max_n = sizes.agg(F.max("n")).collect()[0][0]
+        assert max_n >= 2  # the corpus has real collisions to cap
+        cap = max_n - 1
+        capped = dedup.cap_band_buckets(t, cap)
+        kept = (capped.groupBy("band_idx", "band_key")
+                .agg(F.count("*").alias("n")))
+        assert kept.agg(F.max("n")).collect()[0][0] <= cap
+        # rows kept = all rows of buckets with n <= cap, exactly
+        want = sizes.filter(F.col("n") <= cap).agg(
+            F.sum("n")).collect()[0][0]
+        assert capped.count() == want
+
+        pairs = dedup.sketch_table_pairs(
+            spark, "sketch_cap_t", max_band_bucket=cap)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange [^\n]*", plan)
+        assert len(exchanges) == 1, exchanges  # only the pair distinct
+        assert "band_idx" not in exchanges[0]
+        # capped pairs are a subset of the uncapped pair set
+        got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+        full = {(r.doc_id_a, r.doc_id_b)
+                for r in dedup.sketch_table_pairs(
+                    spark, "sketch_cap_t").collect()}
+        assert got <= full
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS sketch_cap_t")
