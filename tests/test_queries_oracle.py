@@ -323,3 +323,58 @@ def test_bm25_rank_contract(spark):
     for a, b in zip(rows, rows[1:]):
         assert (a.score_u, -a.doc_id) >= (b.score_u, -b.doc_id)
         assert a.score_u > 0
+
+
+def test_containment_catches_substring_pair_jaccard_misses(spark, tmp_path):
+    """The motivating case: doc B embeds ALL of doc A inside a much
+    longer text. Jaccard(A,B) is small (size gap), containment is 1.0 —
+    the pair must appear in containment_pairs and not in
+    ngram_jaccard_pairs. Built corpus also plants a corpus-hot shingle
+    (shared boilerplate across every doc) to exercise the prefix
+    filter's rarest-first ordering and the positional prune."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(
+        f"w{i} w{i+1} w{i+2}" for i in range(0, 60, 3)
+    )
+    boiler = "all rights reserved"
+    docs = [
+        (0, f"{base} {boiler}"),                        # A
+        (1, f"{filler} {base} {boiler} {filler}"),      # B contains A
+        (2, f"{boiler} completely different text here about nothing"),
+        (3, f"{boiler} another unrelated document with its own words"),
+    ]
+    sf = tmp_path / "sfsub"
+    sf.mkdir()
+    (spark.createDataFrame(docs, "doc_id long, text string")
+     .withColumn("lang", F.lit("en"))
+     .coalesce(1)
+     .write.parquet(str(sf / "documents.parquet")))
+
+    cont = {(r.doc_id_a, r.doc_id_b): r.containment
+            for r in dedup.containment_pairs(spark, str(sf)).collect()}
+    jac = {(r.doc_id_a, r.doc_id_b)
+           for r in dedup.ngram_jaccard_pairs(spark, str(sf)).collect()}
+    assert (0, 1) in cont and cont[(0, 1)] == 1.0
+    assert (0, 1) not in jac
+
+    # python brute force over every pair confirms the full result set
+    def shingles(text):
+        toks = text.split()
+        if len(toks) < dedup.SHINGLE_W:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + dedup.SHINGLE_W])
+                for i in range(len(toks) - dedup.SHINGLE_W + 1)}
+
+    sets = {d: shingles(t) for d, t in docs}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+        if c >= dedup.CONTAIN_TAU:
+            want.add((a, b))
+    assert set(cont) == want
