@@ -919,6 +919,31 @@ def write_sketch_table(spark: SparkSession, docs: DataFrame, table: str,
     )
 
 
+def append_to_sketch_table(spark: SparkSession, new_docs: DataFrame,
+                           table: str, buckets: int = 64) -> None:
+    """The accept step of incremental ingest: after a new batch passes
+    :func:`incremental_pairs_against_sketch` (or its duplicates are
+    resolved), append the batch's banded signatures to the sketch table
+    so the NEXT ingest — batch or streaming — sees these docs as corpus.
+    This completes the sketch lifecycle: write once at bootstrap,
+    append per accepted batch, never re-hash the corpus.
+
+    The append declares the same bucket spec as the bootstrap write
+    (Spark refuses mismatched bucketing on an existing table, so drift
+    is an error, not silent corruption). Each append adds one file per
+    touched bucket; the bucketed self-join stays Exchange-free below
+    the join — Spark reads multi-file buckets co-located (it may
+    re-sort within a partition, never reshuffle). Periodic compaction
+    of many-append tables is ordinary parquet file management."""
+    (
+        banded_signatures(new_docs).write.format("parquet")
+        .bucketBy(buckets, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
 #: session-memoized sketch tables: (app id, abs sf_dir) -> table name
 _SKETCH_TABLES: dict[tuple[str, str], str] = {}
 

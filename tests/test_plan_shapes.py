@@ -307,3 +307,44 @@ def test_band_bucket_cap_semantics_and_no_extra_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS sketch_cap_t")
+
+
+def test_sketch_append_lifecycle(spark, tmp_path):
+    """Incremental ingest lifecycle: bootstrap the sketch from 90% of
+    the corpus, append the remaining batch's signatures, and the
+    appended table's self-join pairs equal the full-corpus pairs with
+    the join still Exchange-free below it (multi-file buckets stay
+    co-located)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.operators import dedup
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = dedup._docs(spark, SF_DIR)
+        old = docs.filter(F.col("doc_id") % 10 != 0)
+        new = docs.filter(F.col("doc_id") % 10 == 0)
+        dedup.write_sketch_table(
+            spark, old, "sketch_app_t", str(tmp_path / "ska"), buckets=8)
+        dedup.append_to_sketch_table(spark, new, "sketch_app_t", buckets=8)
+
+        t = spark.table("sketch_app_t")
+        assert t.select("doc_id").distinct().count() == docs.count()
+
+        pairs = dedup.sketch_table_pairs(spark, "sketch_app_t")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange [^\n]*", plan)
+        assert len(exchanges) == 1, exchanges
+        assert "band_idx" not in exchanges[0]
+
+        got = sorted((r.doc_id_a, r.doc_id_b) for r in pairs.collect())
+        want = sorted(
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect())
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS sketch_app_t")
