@@ -1,0 +1,281 @@
+"""Corpus-curation operators for the training-data pipeline:
+benchmark decontamination, PII scrubbing, and sequence packing.
+
+These are the three pre-training steps that sit AFTER dedup/quality
+filtering (operators/dedup.py, functions/textstats.py) and BEFORE the
+data leaves the engine: drop documents that leak the eval set, strip
+personally-identifying strings, and pack the survivors into
+fixed-token-budget training sequences.  Like the rest of the curation
+tier they are pure Catalyst over the ``documents`` table with DuckDB
+oracles built from the same sqlkit fragments, so every one is
+hash-checked end to end.
+
+Reference scope note: bitextor/pdf-extract stops at span extraction —
+these operators are the pipeline surface a 100 TB corpus consumer needs
+downstream of it, designed Spark-first (broadcast semi-joins, shard-local
+windows) rather than ported from anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import sqlkit as K
+from .sqlkit import DUCK, SPARK
+from .textstats import _docs
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+#: word-n-gram width for contamination probes — long enough that a hit
+#: is near-certainly a real excerpt, short enough to survive light edits
+#: (the GPT-3/PaLM-style 8-13 gram convention; 8 here so the short
+#: synthetic docs still carry multiple probes)
+CONTAM_W = 8
+#: eval-set selector: polyhash(doc_id) % CONTAM_MOD == CONTAM_RESIDUE
+#: (a deterministic ~5% pseudo-random "benchmark" carved from the corpus
+#: itself, since no external eval data exists in the sandbox)
+CONTAM_MOD, CONTAM_RESIDUE = 19, 3
+#: flag threshold: fraction of a document's n-grams that appear in the
+#: eval set, as an exact rational (1/5) so both engines compare integers
+CONTAM_NUM, CONTAM_DEN = 1, 5
+
+
+def _eval_selector(doc_id: str, d: str) -> str:
+    hv = K.polyhash(f"cast({doc_id} as string)", d)
+    return f"(({hv}) % {CONTAM_MOD}) = {CONTAM_RESIDUE}"
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    ``CONTAM_W``-grams overlap a held-out eval set (here a deterministic
+    hash-selected ~5% of the corpus standing in for the real benchmark
+    table, which in production is a separate small input).
+
+    Emits one row per NON-eval document that shares at least one n-gram
+    with the eval set: total probe count, hit count, and the
+    ``contaminated`` verdict at overlap ratio ≥ 1/5.  Clean documents
+    (the overwhelming majority) are filtered in-plan, so the result is
+    O(near-dups of eval docs), not O(corpus).
+
+    Scale shape at 100 TB: the eval side is SMALL by construction (a
+    benchmark suite is megabytes) — its distinct n-gram hashes are
+    broadcast, so the corpus side is one scan-local explode + broadcast
+    hash join + per-doc hash-agg keyed on doc_id (near-uniform).  No
+    shuffle touches the full corpus except the final doc_id agg of the
+    *hit* rows only; the plan-shape test pins the broadcast.
+    """
+    sh = K.shingle_hashes("text", CONTAM_W, SPARK)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(sh).alias("grams"),
+        F.expr(_eval_selector("doc_id", SPARK)).alias("is_eval"),
+    )
+    eval_grams = (
+        d.filter("is_eval")
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = d.filter(~F.col("is_eval")).select(
+        "doc_id", F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    hits = (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("hit_ratio"),
+        (F.col("n_hit") * CONTAM_DEN >= F.col("n_grams") * CONTAM_NUM)
+        .alias("contaminated"),
+    )
+
+
+def decontaminate_oracle() -> str:
+    sh = K.shingle_hashes("text", CONTAM_W, DUCK)
+    sel = _eval_selector("doc_id", DUCK)
+    return f"""
+        with graded as (
+            select doc_id, {sh} as grams, {sel} as is_eval
+            from documents
+        ), eval_grams as (
+            select distinct unnest(grams) as g from graded where is_eval
+        ), corpus as (
+            select doc_id, len(grams) as n_grams, unnest(grams) as g
+            from graded where not is_eval
+        ), hits as (
+            select doc_id, n_grams, count(*) as n_hit
+            from corpus join eval_grams using (g)
+            group by doc_id, n_grams
+        )
+        select doc_id,
+               cast(n_grams as bigint) as n_grams,
+               cast(n_hit as bigint) as n_hit,
+               round(n_hit / cast(n_grams as double), 6) as hit_ratio,
+               (n_hit * {CONTAM_DEN} >= n_grams * {CONTAM_NUM})
+                   as contaminated
+        from hits
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 / phone detection + redaction)
+# ---------------------------------------------------------------------------
+
+#: regex patterns restricted to the Java-regex ∩ RE2 common subset (no
+#: lookaround, no backreferences) so Spark and DuckDB match identically
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+_REDACTIONS = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def _pii_augmented(doc_id: str, text: str, d: str) -> str:
+    """Deterministic in-plan PII injection: the synthetic corpus is
+    PII-free word soup, so the operator seeds a known, reproducible
+    population of emails / IPs / phone numbers (keyed on doc_id) for
+    the detector to find — identical expression in both engines, so
+    the oracle checks real matches, not a wall of zeros."""
+    mail = (f"concat(' reach u', cast({doc_id} as string),"
+            f" '@example.com or 10.0.', cast({doc_id} % 256 as string),"
+            f" '.99 now')")
+    phone = (f"concat(' call +1-202-555-0',"
+             f" lpad(cast({doc_id} % 100 as string), 3, '0'), ' today')")
+    return (f"concat({text}, case when {doc_id} % 7 = 0 then {mail} "
+            f"when {doc_id} % 11 = 0 then {phone} else '' end)")
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-document counts of email / IPv4 /
+    phone-number matches and the text with every match replaced by a
+    typed placeholder.  Emits only documents where something was found
+    (the audit view a release pipeline reviews); the redacted full
+    corpus is the same projection without the filter.
+
+    Patterns live in the Java-regex ∩ RE2 common subset so the DuckDB
+    oracle replays them byte-identically.  Scale shape: pure scan-local
+    narrow projection — zero shuffle, IO-bound at 100 TB, and regex
+    evaluation stays inside whole-stage codegen (no Python).
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    doc_id-keyed augmentation injects a known population first (see
+    ``_pii_augmented``); on real data that step is identity.
+    """
+    aug = _pii_augmented("doc_id", "text", SPARK)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(aug).alias("t"))
+    red = F.col("t")
+    for pat, tag in _REDACTIONS:
+        red = F.regexp_replace(red, pat, tag)
+    out = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_IPV4), F.lit(0)))
+        .cast("bigint").alias("n_ipv4"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint").alias("n_phone"),
+        red.alias("redacted"),
+    )
+    return out.filter("n_email + n_ipv4 + n_phone > 0")
+
+
+def pii_scrub_oracle() -> str:
+    aug = _pii_augmented("doc_id", "text", DUCK)
+    red = "t"
+    for pat, tag in _REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    counts = ", ".join(
+        f"cast(len(regexp_extract_all(t, '{pat}')) as bigint) as {name}"
+        for pat, name in ((PII_EMAIL, "n_email"), (PII_IPV4, "n_ipv4"),
+                          (PII_PHONE, "n_phone")))
+    return f"""
+        with aug as (select doc_id, {aug} as t from documents)
+        select doc_id, {counts}, {red} as redacted
+        from aug
+        where len(regexp_extract_all(t, '{PII_EMAIL}'))
+            + len(regexp_extract_all(t, '{PII_IPV4}'))
+            + len(regexp_extract_all(t, '{PII_PHONE}')) > 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into fixed token budgets)
+# ---------------------------------------------------------------------------
+
+#: training-sequence token budget and shard fan-out.  Sharding bounds
+#: the window: packing is exact WITHIN a shard and shards are
+#: independent, which is precisely how production packers parallelize —
+#: a global pack order would serialize the corpus through one sort.
+#: At cluster scale NSHARDS is O(cores); 8 keeps sf0.001 shards non-empty.
+SEQ_CAP = 512
+NSHARDS = 8
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every document's tokens
+    end to end (per shard, in deterministic hash-shard + doc_id order)
+    and cut the stream every ``SEQ_CAP`` tokens — the GPT-style packing
+    that feeds fixed-length training batches with documents allowed to
+    straddle sequence boundaries.  Emits, per document: its shard, the
+    first/last sequence it lands in, and its token offset inside the
+    first one — enough for a writer to materialize the packed batches
+    and for attention-masking to recover document boundaries.
+
+    Scale shape at 100 TB: one shuffle keyed on ``shard`` (uniform by
+    construction — it is a hash), then a per-shard running sum.  The
+    window never sees more than corpus/NSHARDS rows and NSHARDS scales
+    with the cluster, so no single total-order sort exists anywhere.
+    Zero-token documents are dropped in-plan (they occupy no budget).
+    """
+    hv = K.polyhash("cast(doc_id as string)", SPARK)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"({hv}) % {NSHARDS}").alias("shard"),
+        F.expr(K.asize(K.tokens("text", SPARK), SPARK))
+        .cast("bigint").alias("n_tok"),
+    ).filter("n_tok > 0")
+    win = (Window.partitionBy("shard").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # integer DIV throughout — bigint-exact at any corpus size (a double
+    # divide would drift past 2^53 cumulative tokens)
+    return d.withColumn("cum", F.sum("n_tok").over(win)).select(
+        "doc_id", "shard", "n_tok",
+        F.expr(f"(cum - n_tok) DIV {SEQ_CAP}").alias("seq_first"),
+        F.expr(f"(cum - 1) DIV {SEQ_CAP}").alias("seq_last"),
+        F.expr(f"(cum - n_tok) % {SEQ_CAP}").alias("off_in_seq"),
+    )
+
+
+def seq_pack_oracle() -> str:
+    hv = K.polyhash("cast(doc_id as string)", DUCK)
+    n_tok = K.asize(K.tokens("text", DUCK), DUCK)
+    return f"""
+        with toks as (
+            select doc_id, ({hv}) % {NSHARDS} as shard,
+                   cast({n_tok} as bigint) as n_tok
+            from documents
+        ), packed as (
+            select doc_id, shard, n_tok,
+                   sum(n_tok) over (partition by shard order by doc_id
+                                    rows between unbounded preceding
+                                    and current row) as cum
+            from toks where n_tok > 0
+        )
+        select doc_id, shard, n_tok,
+               (cum - n_tok) // {SEQ_CAP} as seq_first,
+               (cum - 1) // {SEQ_CAP} as seq_last,
+               (cum - n_tok) % {SEQ_CAP} as off_in_seq
+        from packed
+    """

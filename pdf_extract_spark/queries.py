@@ -38,7 +38,13 @@ Grouping (SURVEY.md §2 ids in parens):
     near-substring duplicates jaccard misses),
     text_bm25_topk (BM25-scored retrieval, integer micro-unit scores),
     source_quota_sample (per-source quota cap, the per-host sampling
-    of web-corpus curation)
+    of web-corpus curation),
+    text_decontaminate (benchmark n-gram overlap vs a broadcast eval
+    set — the leakage filter every pre-training corpus runs),
+    text_pii_scrub (email/IPv4/phone detection + redaction, Java∩RE2
+    regex subset, scan-local),
+    seq_pack (concat-and-chunk packing into fixed token budgets —
+    shard-local running sums, no global sort)
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
@@ -61,7 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import textstats
+from .functions import curation, textstats
 from .operators import dedup, multimodal, similarity
 
 BOILER_DOC_FRAC = 0.30
@@ -567,6 +573,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": textstats.fingerprints,
     "text_bm25_topk": textstats.bm25_topk,
     "source_quota_sample": textstats.source_quota_sample,
+    "text_decontaminate": curation.decontaminate,
+    "text_pii_scrub": curation.pii_scrub,
+    "seq_pack": curation.seq_pack,
     "text_normalize": text_normalize,
     "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
@@ -614,6 +623,9 @@ ORACLES: dict[str, str] = {
     "text_fingerprint": textstats.fingerprints_oracle(),
     "text_bm25_topk": textstats.bm25_topk_oracle(),
     "source_quota_sample": textstats.source_quota_sample_oracle(),
+    "text_decontaminate": curation.decontaminate_oracle(),
+    "text_pii_scrub": curation.pii_scrub_oracle(),
+    "seq_pack": curation.seq_pack_oracle(),
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_context_words": TEXT_CONTEXT_WORDS_SQL,
     "multimodal_features": multimodal.multimodal_features_oracle(),

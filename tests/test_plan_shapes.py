@@ -348,3 +348,46 @@ def test_sketch_append_lifecycle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql("DROP TABLE IF EXISTS sketch_app_t")
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set n-gram side is small by construction and must
+    broadcast — a shuffled corpus⋈eval join would shuffle the full
+    exploded corpus at 100 TB."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["text_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_is_scan_local(spark):
+    """PII detection/redaction is a narrow projection: no join, no
+    aggregate, and the only permissible Exchange is the gated
+    single-file repartition (never a hash shuffle)."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["text_pii_scrub"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_seq_pack_single_shard_shuffle(spark):
+    """Packing shuffles once, keyed on the hash shard — no global sort
+    (an Exchange rangepartitioning or SinglePartition would serialize
+    the corpus through one total order)."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["seq_pack"](spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in plan.split("Exchange hashpartitioning")[1][:80]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
