@@ -279,3 +279,150 @@ def seq_pack_oracle() -> str:
                (cum - n_tok) % {SEQ_CAP} as off_in_seq
         from packed
     """
+
+
+# ---------------------------------------------------------------------------
+# mixture resampling (temperature sampling + stratified split)
+# ---------------------------------------------------------------------------
+
+#: temperature-sampling exponent as an exact operation: α = 1/2 means a
+#: source's mixture weight is √(its document count) — the standard
+#: flattening that up-weights small sources relative to proportional
+#: sampling without letting any single host dominate.  √ is the one
+#: float op in the plan; floor(sqrt(bigint)) is identical across
+#: engines (IEEE-754 sqrt is correctly rounded), and everything
+#: downstream is bigint arithmetic so quotas are bit-stable.
+TEMP_BUDGET_NUM, TEMP_BUDGET_DEN = 1, 2  # resampled size = corpus / 2
+
+#: stratified split proportions in integer tenths: 8/10 train,
+#: 1/10 valid, 1/10 test — exact per stratum, not just in expectation
+SPLIT_TRAIN_TENTHS, SPLIT_VALID_TENTHS = 8, 9
+
+
+def _ranked_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ranked within their source by a deterministic salted
+    hash — the shared frame of every per-source sampling operator (the
+    rank is a uniform pseudo-random permutation that is stable across
+    runs, partitionings, and cluster sizes)."""
+    hv = K.polyhash("concat(source, '#', cast(doc_id as string))", SPARK)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(hv).alias("hv"))
+    win = Window.partitionBy("source").orderBy("hv", "doc_id")
+    cnt = Window.partitionBy("source")
+    return (d.withColumn("rn", F.row_number().over(win).cast("bigint"))
+              .withColumn("n_s", F.count("*").over(cnt).cast("bigint")))
+
+
+_RANKED_CTE_DUCK = f"""
+    ranked as (
+        select doc_id, source,
+               cast(row_number() over (
+                   partition by source
+                   order by {K.polyhash(
+                       "concat(source, '#', cast(doc_id as string))", DUCK)},
+                   doc_id) as bigint) as rn,
+               cast(count(*) over (partition by source) as bigint) as n_s
+        from documents
+    )
+"""
+
+
+def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled corpus at α = 1/2: each source gets a slice
+    of the target budget proportional to √(its size), then its
+    lowest-hash documents fill the slice — the mixture-flattening
+    resample (T5/mC4-style) that keeps giant hosts from dominating the
+    training mix while still sampling them without replacement.
+
+    Integer-exact end to end: weights are floor(√n_s) as bigint, the
+    budget share is ``(T · w_s) DIV W`` with W an exact bigint sum, and
+    ties never exist (the rank order is total).  The DuckDB oracle
+    replays the same arithmetic, so the kept SET is hash-checked, not
+    just its size.
+
+    Scale shape at 100 TB: one shuffle keyed on ``source`` for the
+    within-source rank (same skew story as source_quota_sample), plus a
+    per-source count agg whose result — one row per host — is tiny and
+    broadcast back.  The scalar total W is a single-row broadcast, not
+    a driver collect.
+    """
+    r = _ranked_by_hash(spark, sf_dir)
+    weights = (
+        r.groupBy("source").agg(F.max("n_s").alias("n_s"))
+        .withColumn("w", F.expr(
+            "cast(floor(sqrt(cast(n_s as double))) as bigint)"))
+    )
+    totals = weights.agg(
+        F.sum("w").alias("w_total"),
+        F.expr(f"(sum(n_s) * {TEMP_BUDGET_NUM}) DIV {TEMP_BUDGET_DEN}")
+        .alias("budget"))
+    quotas = (
+        weights.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.expr("least(n_s, (budget * w) DIV w_total)").alias("quota"))
+    )
+    return (
+        r.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", F.col("rn").alias("sample_rank"),
+                "quota")
+    )
+
+
+def source_temperature_sample_oracle() -> str:
+    return f"""
+        with {_RANKED_CTE_DUCK},
+        weights as (
+            select source, max(n_s) as n_s,
+                   cast(floor(sqrt(cast(max(n_s) as double))) as bigint)
+                       as w
+            from ranked group by source
+        ), totals as (
+            select cast(sum(w) as bigint) as w_total,
+                   (cast(sum(n_s) as bigint) * {TEMP_BUDGET_NUM})
+                       // {TEMP_BUDGET_DEN} as budget
+            from weights
+        ), quotas as (
+            select source,
+                   least(n_s, (budget * w) // w_total) as quota
+            from weights cross join totals
+        )
+        select doc_id, ranked.source, rn as sample_rank, quota
+        from ranked join quotas on ranked.source = quotas.source
+        where rn <= quota
+    """
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/valid/test split: within every
+    ``source`` stratum, documents are permuted by the salted hash rank
+    and cut at EXACT 8/10 and 9/10 boundaries — so each stratum's split
+    proportions are exact (``floor``-rounded), not merely expected, and
+    membership is reproducible from doc_id alone given the corpus.
+
+    All-integer comparisons (``rn·10 ≤ n_s·8``) — no float thresholds
+    to disagree across engines.  Scale shape: the same single
+    source-keyed shuffle as the other per-source samplers; the split
+    column is then scan-local.
+    """
+    r = _ranked_by_hash(spark, sf_dir)
+    return r.select(
+        "doc_id", "source",
+        F.when(F.col("rn") * 10 <= F.col("n_s") * SPLIT_TRAIN_TENTHS,
+               "train")
+        .when(F.col("rn") * 10 <= F.col("n_s") * SPLIT_VALID_TENTHS,
+              "valid")
+        .otherwise("test").alias("split"),
+    )
+
+
+def stratified_split_oracle() -> str:
+    return f"""
+        with {_RANKED_CTE_DUCK}
+        select doc_id, source,
+               case when rn * 10 <= n_s * {SPLIT_TRAIN_TENTHS} then 'train'
+                    when rn * 10 <= n_s * {SPLIT_VALID_TENTHS} then 'valid'
+                    else 'test' end as split
+        from ranked
+    """

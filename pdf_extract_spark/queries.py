@@ -44,7 +44,11 @@ Grouping (SURVEY.md §2 ids in parens):
     text_pii_scrub (email/IPv4/phone detection + redaction, Java∩RE2
     regex subset, scan-local),
     seq_pack (concat-and-chunk packing into fixed token budgets —
-    shard-local running sums, no global sort)
+    shard-local running sums, no global sort),
+    source_temperature_sample (α=1/2 mixture flattening, integer-exact
+    per-source quotas from a broadcast weight table),
+    stratified_split (exact 8/1/1 train/valid/test cut per source
+    stratum, hash-permuted, all-integer thresholds)
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
@@ -576,6 +580,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": curation.decontaminate,
     "text_pii_scrub": curation.pii_scrub,
     "seq_pack": curation.seq_pack,
+    "source_temperature_sample": curation.source_temperature_sample,
+    "stratified_split": curation.stratified_split,
     "text_normalize": text_normalize,
     "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
@@ -626,6 +632,9 @@ ORACLES: dict[str, str] = {
     "text_decontaminate": curation.decontaminate_oracle(),
     "text_pii_scrub": curation.pii_scrub_oracle(),
     "seq_pack": curation.seq_pack_oracle(),
+    "source_temperature_sample":
+        curation.source_temperature_sample_oracle(),
+    "stratified_split": curation.stratified_split_oracle(),
     "text_normalize": TEXT_NORMALIZE_SQL,
     "text_context_words": TEXT_CONTEXT_WORDS_SQL,
     "multimodal_features": multimodal.multimodal_features_oracle(),

@@ -391,3 +391,30 @@ def test_seq_pack_single_shard_shuffle(spark):
     assert "shard" in plan.split("Exchange hashpartitioning")[1][:80]
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_temperature_sample_broadcasts_quotas(spark):
+    """The per-source quota table (one row per host) must broadcast to
+    the ranked corpus; the only nested-loop allowed is the single-row
+    scalar-totals cross join."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["source_temperature_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # at most the scalar totals row rides a nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_stratified_split_single_source_shuffle(spark):
+    """The split is one source-keyed shuffle + a scan-local case — no
+    join, no extra exchange beyond the shared rank window."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["stratified_split"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
