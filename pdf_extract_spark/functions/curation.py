@@ -49,6 +49,13 @@ def _eval_selector(doc_id: str, d: str) -> str:
     return f"(({hv}) % {CONTAM_MOD}) = {CONTAM_RESIDUE}"
 
 
+def _eval_is_member(doc_id: int) -> bool:
+    """Python twin of :func:`_eval_selector` (tests plant known
+    eval/non-eval documents with it)."""
+    return (K.polyhash_bytes(str(doc_id).encode())
+            % CONTAM_MOD) == CONTAM_RESIDUE
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose word
     ``CONTAM_W``-grams overlap a held-out eval set (here a deterministic

@@ -1,0 +1,132 @@
+"""Semantic invariants of the curation operators — properties the
+cross-engine hash check can't express (both engines could share a bug;
+these pin the MEANING: packing conserves tokens, quotas are exactly
+filled, splits are exactly proportioned, redaction removes what the
+counters counted)."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import pytest
+
+from pdf_extract_spark.functions import curation as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    return C.seq_pack(spark, SF_DIR).collect()
+
+
+def test_seq_pack_offsets_are_contiguous(packed):
+    """Within a shard (doc_id order), each document starts exactly
+    where the previous one ended — the concat-and-chunk stream has no
+    gaps and no overlaps."""
+    by_shard = defaultdict(list)
+    for r in packed:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) == C.NSHARDS
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.seq_first == cum // C.SEQ_CAP
+            assert r.off_in_seq == cum % C.SEQ_CAP
+            cum += r.n_tok
+            assert r.seq_last == (cum - 1) // C.SEQ_CAP
+
+
+def test_seq_pack_straddles_exist_and_are_consistent(packed):
+    """The packer must allow boundary-straddling documents (that is the
+    point of concat-and-chunk), and a straddle spans exactly the
+    sequences its token range covers."""
+    straddles = [r for r in packed if r.seq_last > r.seq_first]
+    assert straddles, "no document straddles a sequence boundary"
+    for r in straddles:
+        assert r.off_in_seq + r.n_tok > C.SEQ_CAP
+
+
+def test_temperature_sample_fills_quotas_exactly(spark):
+    """Each source contributes exactly min(quota, available) documents
+    and quotas flatten the mixture: a source 4x another's size gets
+    only ~2x the quota (sqrt scaling)."""
+    rows = C.source_temperature_sample(spark, SF_DIR).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r)
+    for src, rs in per_src.items():
+        quota = rs[0].quota
+        assert len(rs) == min(quota, len(rs))
+        ranks = sorted(r.sample_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # lowest-hash prefix
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every stratum splits at exact floor boundaries: n_train =
+    floor(0.8 n), n_train+n_valid = floor(0.9 n)."""
+    rows = C.stratified_split(spark, SF_DIR).collect()
+    per_src = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        per_src[r.source][r.split] += 1
+    for src, counts in per_src.items():
+        n = sum(counts.values())
+        assert counts["train"] == (n * 8) // 10, src
+        assert counts["train"] + counts["valid"] == (n * 9) // 10, src
+        assert counts["test"] == n - (n * 9) // 10, src
+
+
+def test_split_and_sample_are_disjoint_deterministic(spark):
+    """Re-running yields byte-identical assignments (the resumability
+    claim: membership is a pure function of the corpus)."""
+    a = sorted((r.doc_id, r.split)
+               for r in C.stratified_split(spark, SF_DIR).collect())
+    b = sorted((r.doc_id, r.split)
+               for r in C.stratified_split(spark, SF_DIR).collect())
+    assert a == b
+
+
+def test_pii_redaction_removes_every_counted_match(spark):
+    """The redacted text contains zero residual matches for any
+    pattern, and placeholders appear exactly as often as the counters
+    say."""
+    rows = C.pii_scrub(spark, SF_DIR).collect()
+    assert rows
+    pats = {"<EMAIL>": (C.PII_EMAIL, "n_email"),
+            "<IP>": (C.PII_IPV4, "n_ipv4"),
+            "<PHONE>": (C.PII_PHONE, "n_phone")}
+    for r in rows:
+        for tag, (pat, field) in pats.items():
+            assert not re.search(pat, r.redacted), (r.doc_id, pat)
+            assert r.redacted.count(tag) == getattr(r, field)
+
+
+def test_decontaminate_flags_planted_eval_copy(spark, tmp_path):
+    """A verbatim copy of an eval document must be flagged contaminated
+    (hit_ratio 1.0); an unrelated document must not appear."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from"
+            f" '{SF_DIR}/documents.parquet'")
+    # find one eval doc and plant a copy under a fresh doc_id
+    sel = C._eval_selector("doc_id", "duck")
+    eval_doc = con.sql(
+        f"select doc_id, text from documents where {sel} limit 1"
+    ).fetchone()
+    assert eval_doc is not None
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copy_id = 10_000_019  # chosen non-eval: polyhash % 19 != 3
+    assert not C._eval_is_member(copy_id)
+    extra = spark.createDataFrame(
+        [(copy_id, eval_doc[1], "xx", "planted", len(eval_doc[1]))],
+        schema=src.schema)
+    out = str(tmp_path / "docs")
+    src.unionByName(extra).coalesce(1).write.parquet(
+        f"{out}/documents.parquet")
+    flagged = {r.doc_id: r for r in C.decontaminate(spark, out).collect()}
+    assert copy_id in flagged
+    assert flagged[copy_id].contaminated
+    assert flagged[copy_id].hit_ratio == 1.0
