@@ -74,11 +74,21 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join + per-doc hash-agg keyed on doc_id (near-uniform).  No
     shuffle touches the full corpus except the final doc_id agg of the
     *hit* rows only; the plan-shape test pins the broadcast.
+
+    NOTE on the broadcast (r4 ADVICE): with the in-corpus ~5% stand-in,
+    the eval side's distinct n-gram set grows WITH the corpus, so the
+    broadcast shape only holds because the stand-in is a sandbox
+    default.  Production callers must pass a genuinely small external
+    eval table via :func:`decontaminate_frame` — the parameterized form
+    this registered query wraps.
     """
-    sh = K.shingle_hashes("text", CONTAM_W, SPARK)
-    d = _docs(spark, sf_dir).select(
+    from .sigkernel import signature_frame
+
+    d = signature_frame(
+        _docs(spark, sf_dir), CONTAM_W, minhash=False
+    ).select(
         "doc_id",
-        F.expr(sh).alias("grams"),
+        F.col("sh").alias("grams"),
         F.expr(_eval_selector("doc_id", SPARK)).alias("is_eval"),
     )
     eval_grams = (
@@ -86,12 +96,41 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
-    corpus = d.filter(~F.col("is_eval")).select(
+    corpus = d.filter(~F.col("is_eval"))
+    return _contamination(corpus, eval_grams)
+
+
+def decontaminate_frame(corpus_docs: DataFrame,
+                        eval_docs: DataFrame) -> DataFrame:
+    """Production decontamination API: flag ``corpus_docs`` documents
+    whose word n-grams overlap ``eval_docs`` — an EXPLICIT, small eval
+    input (a benchmark suite is megabytes), which is what makes the
+    eval-gram broadcast a sound 100 TB shape.  Both sides hash through
+    the vectorized kernel; the registered ``text_decontaminate`` query
+    is this operator with a hash-selected in-corpus stand-in for the
+    eval side (no external data exists in the sandbox)."""
+    from .sigkernel import signature_frame
+
+    eval_grams = (
+        signature_frame(eval_docs, CONTAM_W, minhash=False)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus = signature_frame(
+        corpus_docs, CONTAM_W, minhash=False
+    ).select("doc_id", F.col("sh").alias("grams"))
+    return _contamination(corpus, eval_grams)
+
+
+def _contamination(corpus: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Shared tail: explode the corpus grams, broadcast-join the eval
+    gram set, per-doc rollup, ratio + verdict."""
+    ex = corpus.select(
         "doc_id", F.size("grams").alias("n_grams"),
         F.explode("grams").alias("g"),
     )
     hits = (
-        corpus.join(F.broadcast(eval_grams), "g")
+        ex.join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id", "n_grams")
         .agg(F.count("*").alias("n_hit"))
     )
@@ -182,38 +221,43 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _pii_augmented("doc_id", "text", SPARK)
     d = _docs(spark, sf_dir).select(
         "doc_id", F.expr(aug).alias("t"))
-    red = F.col("t")
-    for pat, tag in _REDACTIONS:
-        red = F.regexp_replace(red, pat, tag)
-    out = d.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), F.lit(0)))
-        .cast("bigint").alias("n_email"),
-        F.size(F.regexp_extract_all("t", F.lit(PII_IPV4), F.lit(0)))
-        .cast("bigint").alias("n_ipv4"),
-        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), F.lit(0)))
-        .cast("bigint").alias("n_phone"),
-        red.alias("redacted"),
-    )
+    # PROGRESSIVE counting (r4 ADVICE): pattern i is counted on the text
+    # with replacements 1..i-1 already applied, so overlapping matches
+    # ('foo@1.2.3.4.net': the email consumes the IPv4) never
+    # desynchronize counts from emitted placeholders — count == number
+    # of that placeholder in `redacted`, invariant-tested.
+    stage = F.col("t")
+    counts = []
+    for (pat, tag), name in zip(_REDACTIONS,
+                                ("n_email", "n_ipv4", "n_phone")):
+        counts.append(
+            F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
+            .cast("bigint").alias(name))
+        stage = F.regexp_replace(stage, pat, tag)
+    out = d.select("doc_id", *counts, stage.alias("redacted"))
     return out.filter("n_email + n_ipv4 + n_phone > 0")
 
 
 def pii_scrub_oracle() -> str:
     aug = _pii_augmented("doc_id", "text", DUCK)
-    red = "t"
-    for pat, tag in _REDACTIONS:
-        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
-    counts = ", ".join(
-        f"cast(len(regexp_extract_all(t, '{pat}')) as bigint) as {name}"
-        for pat, name in ((PII_EMAIL, "n_email"), (PII_IPV4, "n_ipv4"),
-                          (PII_PHONE, "n_phone")))
+    # the same progressive chain as the Spark side: count pattern i on
+    # the text with replacements 1..i-1 applied
+    stage = "t"
+    counts = []
+    for (pat, tag), name in zip(_REDACTIONS,
+                                ("n_email", "n_ipv4", "n_phone")):
+        counts.append(
+            f"cast(len(regexp_extract_all({stage}, '{pat}')) as bigint)"
+            f" as {name}")
+        stage = f"regexp_replace({stage}, '{pat}', '{tag}', 'g')"
     return f"""
-        with aug as (select doc_id, {aug} as t from documents)
-        select doc_id, {counts}, {red} as redacted
-        from aug
-        where len(regexp_extract_all(t, '{PII_EMAIL}'))
-            + len(regexp_extract_all(t, '{PII_IPV4}'))
-            + len(regexp_extract_all(t, '{PII_PHONE}')) > 0
+        with aug as (select doc_id, {aug} as t from documents),
+        scrubbed as (
+            select doc_id, {', '.join(counts)}, {stage} as redacted
+            from aug
+        )
+        select * from scrubbed
+        where n_email + n_ipv4 + n_phone > 0
     """
 
 
@@ -275,9 +319,12 @@ def seq_pack_oracle() -> str:
             from documents
         ), packed as (
             select doc_id, shard, n_tok,
-                   sum(n_tok) over (partition by shard order by doc_id
-                                    rows between unbounded preceding
-                                    and current row) as cum
+                   -- cast: DuckDB sum(BIGINT) declares HUGEINT, which
+                   -- would propagate through // and % into the seq_*
+                   -- outputs and fail the driver's dtype-sensitive hash
+                   cast(sum(n_tok) over (partition by shard order by doc_id
+                                         rows between unbounded preceding
+                                         and current row) as bigint) as cum
             from toks where n_tok > 0
         )
         select doc_id, shard, n_tok,

@@ -29,6 +29,7 @@ precision/recall on an independent UDHR sample in langid_eval.py):
 from __future__ import annotations
 
 import re
+from collections import Counter as _Counter
 
 # Top-frequency function words per Latin-script language (public
 # linguistic knowledge). Dict insertion order is the tie-break priority:
@@ -576,9 +577,24 @@ def detect(text: str) -> str | None:
     if not text:
         return None
     sample = text[:4000]
-    if _NONLATIN_RE.search(sample) is not None:
+    m = _NONLATIN_RE.search(sample)
+    if m is not None:
         non_space = max(1, len(sample.replace(" ", "")))
-        for code, pat in _SCRIPT_RANGES:
+        # fast path (r4 VERDICT item 5): probe the first non-Latin
+        # char's own script block FIRST — script blocks are disjoint,
+        # so for single-script text this is one findall instead of a
+        # walk through the whole table. zh/ja keep their table order
+        # (kanji-majority Japanese must still resolve through the Han
+        # check first), so only disjoint blocks are hoisted.
+        ranges = _SCRIPT_RANGES
+        ch = m.group(0)
+        for idx, (code, pat) in enumerate(_SCRIPT_RANGES):
+            if pat.match(ch) is not None:
+                if idx >= 2:
+                    ranges = [_SCRIPT_RANGES[idx]] + \
+                        _SCRIPT_RANGES[:idx] + _SCRIPT_RANGES[idx + 1:]
+                break
+        for code, pat in ranges:
             hits_n = len(pat.findall(sample))
             if hits_n * 3 >= non_space:  # ≥⅓ of chars in the script
                 if code == "@cyr":
@@ -592,29 +608,52 @@ def detect(text: str) -> str | None:
                 if code == "@dev":
                     return _devanagari_lang(sample)
                 return code
-    words = [w.lower() for w in _WORD_RE.findall(sample)]
-    if not words:
+    words = _WORD_RE.findall(sample)
+    words_n = len(words)
+    if not words_n:
         return None
     low = sample.lower()
     hits: dict[str, int] = {}
-    for w in words:
-        for lang in _WORD2LANGS.get(w, ()):
-            hits[lang] = hits.get(lang, 0) + 1
+    if words_n > 64:
+        # long docs: vote over DISTINCT words, each weighted by its
+        # count — identical totals, far fewer dict probes and lowers
+        for w, c in _Counter(words).items():
+            for lang in _WORD2LANGS.get(w.lower(), ()):
+                hits[lang] = hits.get(lang, 0) + c
+    else:
+        # short lines: the Counter's fixed setup cost exceeds the
+        # dedup saving — plain per-occurrence loop
+        for w in words:
+            for lang in _WORD2LANGS.get(w.lower(), ()):
+                hits[lang] = hits.get(lang, 0) + 1
     # exclusive-orthography boost: letters written by exactly ONE
     # supported Latin-script language are stronger evidence than any
     # shared function word (a single ě decides cs over the pt/es "a se
     # do" collision). +3 votes per occurrence, capped at 6, so a long
     # text's genuine stopword majority still dominates a stray
-    # foreign-name diacritic.
-    for pat, lang in _LATIN_EXCLUSIVE:
-        n = len(pat.findall(low))
-        if n:
-            hits[lang] = hits.get(lang, 0) + min(3 * n, 6)
+    # foreign-name diacritic.  ONE character-class scan finds every
+    # exclusive letter (they are all single chars; Maltese 'għ' is
+    # covered by its ħ), then a dict maps char → language — the old
+    # form ran 15 unconditional findall scans per document.
+    found = _EXCL_CLASS_RE.findall(low)
+    if found:
+        per: dict[str, int] = {}
+        for ch2 in found:
+            lg = _EXCL_CHAR2LANG[ch2]
+            per[lg] = per.get(lg, 0) + 1
+        for lg, n in per.items():
+            hits[lg] = hits.get(lg, 0) + min(3 * n, 6)
     if not hits:
         return None
-    best_lang, best_hits = min(
-        hits.items(), key=lambda kv: (-kv[1], _LANG_PRIO[kv[0]]))
-    if best_hits * 12 >= len(words):  # ≥1/12 density
+    # manual argmax (most hits, priority as tie-break): avoids a tuple
+    # build + lambda call per language on every document
+    best_lang = None
+    best_hits = 0
+    best_prio = 1 << 30
+    for lg, c in hits.items():
+        if c > best_hits or (c == best_hits and _LANG_PRIO[lg] < best_prio):
+            best_lang, best_hits, best_prio = lg, c, _LANG_PRIO[lg]
+    if best_hits * 12 >= words_n:  # ≥1/12 density
         return _refine_latin(best_lang, low)
     return None
 
@@ -639,6 +678,20 @@ _LATIN_EXCLUSIVE: list[tuple["re.Pattern[str]", str]] = [
     (re.compile(r"[ịụṅ]"), "ig"),
     (re.compile(r"[ẹṣ]"), "yo"),
 ]
+
+#: char → language for the single combined exclusive-letter scan.
+#: Derived from _LATIN_EXCLUSIVE (the semantic source of truth): every
+#: pattern is a single-char class except Maltese "ħ|għ", whose every
+#: match contains ħ — tests/test_langid.py pins the derivation.
+_EXCL_CHAR2LANG: dict[str, str] = {}
+for _p, _lang in _LATIN_EXCLUSIVE:
+    _src = _p.pattern
+    if _src.startswith("[") and _src.endswith("]"):
+        for _ch in _src[1:-1]:
+            _EXCL_CHAR2LANG[_ch] = _lang
+_EXCL_CHAR2LANG["ħ"] = "mt"
+_EXCL_CLASS_RE = re.compile(
+    "[" + "".join(map(re.escape, _EXCL_CHAR2LANG)) + "]")
 
 
 # orthography refinements for near-identical stopword pairs: the vote

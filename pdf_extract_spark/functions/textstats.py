@@ -366,13 +366,13 @@ def passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation on each; no self-join and nothing
     quadratic. Output is a 4-column frame a corpus filter consumes
     directly."""
-    from . import sqlkit as K
-    from .sqlkit import SPARK
+    from .sigkernel import signature_frame
 
-    sh = K.shingle_hashes("text", PASSAGE_W, SPARK)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.expr(sh).alias("sh")
-    )
+    # shingle hashes from the vectorized Arrow kernel (bit-identical to
+    # the HOF fragments the oracle replays — tests/test_sigkernel.py)
+    docs = signature_frame(
+        _docs(spark, sf_dir), PASSAGE_W, minhash=False
+    ).select("doc_id", "sh")
     ex = docs.select("doc_id", F.explode("sh").alias("h"))
     df_counts = ex.groupBy("h").agg(
         F.countDistinct("doc_id").alias("df"))
@@ -512,7 +512,9 @@ def bm25_topk_oracle() -> str:
         dft as (select term, count(distinct doc_id) as dft
                 from qocc group by term),
         scored as (
-            select tf.doc_id, sum({contrib}) as score_u
+            -- cast: DuckDB sum(BIGINT) declares HUGEINT; Spark stays
+            -- bigint, and the driver's value-hash is dtype-sensitive
+            select tf.doc_id, cast(sum({contrib}) as bigint) as score_u
             from tf join dft using (term) cross join stats
             group by tf.doc_id
         )

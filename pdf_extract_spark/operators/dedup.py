@@ -106,19 +106,21 @@ def exact_duplicates_oracle() -> str:
 
 def _shingled(spark: SparkSession, sf_dir: str,
               reuse: bool = False) -> DataFrame:
-    """Distinct shingle-hash array per doc. ``reuse=True`` persists the
-    frame: the LSH operators reference it from 3-4 plan branches (band
-    self-join sides + verify joins) and Spark recomputes common subplans
-    per branch — shingle hashing is the dominant cost, so caching it is a
-    ~3x win (and at cluster scale the signature frame is exactly what
-    you'd materialize as an intermediate table — write_sketch_table).
+    """Distinct shingle-hash array per doc, computed by the VECTORIZED
+    kernel (functions/sigkernel.py: one narrow Arrow map, numpy
+    segment-Horner hashing — bit-identical to the HOF fragments the
+    DuckDB oracles replay, pinned by tests/test_sigkernel.py).  The
+    interpreted HOF form cost 26-194 s per benched query at sf0.1
+    (r4 VERDICT, reproduced); the kernel is the 100 TB path.
 
-    Cache lifetime is caller-owned: the persist is registered with
-    runtime.track_cache, and harnesses release between queries."""
-    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
-    out = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(sh).alias("sh")
-    ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
+    ``reuse=True`` persists the frame: the LSH operators reference it
+    from 3-4 plan branches (band self-join sides + verify joins) and
+    Spark recomputes common subplans per branch.  Cache lifetime is
+    caller-owned: the persist is registered with runtime.track_cache,
+    and harnesses release between queries."""
+    from ..functions.sigkernel import signature_frame
+
+    out = signature_frame(_docs(spark, sf_dir), SHINGLE_W, minhash=False)
     return track_cache(out) if reuse else out
 
 
@@ -310,30 +312,40 @@ def containment_pairs_oracle() -> str:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _explode_bands(sig: DataFrame, carry: list[str]) -> DataFrame:
+    """(carry..., band_idx, band_key) — one row per (doc, LSH band) from
+    a signature frame with mh0..mh{N-1} columns. Explode (not a union of
+    per-band selects) so the upstream signature kernel executes ONCE:
+    a union re-runs every non-persisted parent branch per band."""
+    structs = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.concat_ws(",", *[
+                f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)
+            ]).alias("band_key"),
+        )
+        for bi in range(LSH_BANDS)
+    ])
+    return (
+        sig.select(*carry, F.explode(structs).alias("bk"))
+        .select(*carry, "bk.band_idx", "bk.band_key")
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures → banded LSH candidate join → exact jaccard
     verify ≥ τ.
 
     The candidate join is an equi-join on (band_idx, band_key): at 10^12
     docs this is the only shuffle, keyed by a near-uniform 4-minhash
-    concatenation — no O(n²) stage anywhere."""
-    s = _shingled(spark, sf_dir, reuse=True)
-    # sig is referenced from both sides of the band self-join; without a
-    # persist the 8 min-wise hash expressions run twice per doc
-    sig = track_cache(s.select(
-        "doc_id", "sh", "n_sh",
-        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
-          for j in range(N_MINHASH)],
-    ))
-    bands = None
-    for bi in range(LSH_BANDS):
-        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
-        b = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(",", *cols).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    concatenation — no O(n²) stage anywhere.  Signatures come from the
+    vectorized kernel (one Arrow map; persisted because the frame feeds
+    both self-join sides AND the verify join)."""
+    from ..functions.sigkernel import signature_frame
+
+    s = track_cache(signature_frame(
+        _docs(spark, sf_dir), SHINGLE_W, minhash=True))
+    bands = _explode_bands(s, ["doc_id"])
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_idx", "band_key"])
@@ -392,32 +404,18 @@ def minhash_lsh_pairs_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit simhash over the shingle-hash set.
+    """Per-doc 32-bit simhash over the shingle-hash set, computed
+    in-kernel (functions/sigkernel.py: the per-bit ±1 votes are one
+    numpy bit-matrix ``reduceat`` inside the same Arrow map that hashes
+    the shingles) — a NARROW plan with zero shuffle, where the previous
+    explode + 32-conditional-sum hash aggregate shuffled every shingle
+    hash on doc_id. Values match the fold-based DuckDB oracle
+    bit-for-bit (pinned in tests/test_sigkernel.py)."""
+    from ..functions.sigkernel import signature_frame
 
-    Spark plan: explode the shingle hashes and take 32 conditional sums in
-    ONE hash aggregate (whole-stage codegen), then assemble the
-    fingerprint — ~40× faster than the equivalent nested higher-order
-    fold, which Catalyst interprets per bit. The sums are order-
-    insensitive integers, so the value still matches the fold-based DuckDB
-    oracle bit-for-bit."""
-    s = _shingled(spark, sf_dir, reuse=True)
-    ex = s.select("doc_id", F.explode("sh").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h DIV {1 << j}) % 2") == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(K.SIMHASH_BITS)
-    ]
-    fp_expr = " + ".join(
-        f"(case when v{j} > 0 then cast({1 << j} as bigint)"
-        f" else cast(0 as bigint) end)"
-        for j in range(K.SIMHASH_BITS)
-    )
-    return (
-        ex.groupBy("doc_id")
-        .agg(*votes)
-        .select("doc_id", F.expr(fp_expr).alias("simhash"))
-    )
+    return signature_frame(
+        _docs(spark, sf_dir), SHINGLE_W, minhash=False, simhash=True
+    ).select("doc_id", "simhash")
 
 
 def simhash_fingerprints_oracle() -> str:
@@ -460,7 +458,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.expr(ham).alias("hamming"),
+            # bigint on BOTH engines: Spark bit_count is int32, DuckDB's
+            # TINYINT — an aligned declared type is part of the contract
+            F.expr(ham).cast("bigint").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
@@ -479,7 +479,7 @@ def simhash_pairs_oracle() -> str:
         fp as (select doc_id, {K.simhash('sh', DUCK)} as simhash from sized),
         bands as ({band_rows})
         select distinct a.doc_id as doc_id_a, b.doc_id as doc_id_b,
-               {ham} as hamming
+               cast({ham} as bigint) as hamming
         from bands a join bands b
           on a.band_idx = b.band_idx and a.band_key = b.band_key
          and a.doc_id < b.doc_id
@@ -856,26 +856,16 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
     banding that every consumer (bucketed sketch write, incremental
     batch join, streaming stream-static join) shares, so a sketch
     written at ingest time joins bit-identically against signatures
-    computed in-plan."""
-    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
-    sized = docs.select(
-        "doc_id", F.expr(sh).alias("sh")
-    ).withColumn("n_sh", F.expr(K.asize("sh", SPARK)))
-    sig = sized.select(
-        "doc_id", "sh", "n_sh",
-        *[F.expr(K.minhash("sh", j, SPARK)).alias(f"mh{j}")
-          for j in range(N_MINHASH)],
-    )
-    bands = None
-    for bi in range(LSH_BANDS):
-        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
-        b = sig.select(
-            "doc_id", "sh", "n_sh",
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(",", *cols).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    return bands
+    computed in-plan.
+
+    Signatures come from the vectorized Arrow kernel and the bands from
+    one explode — the whole frame is a single narrow pass over the
+    input (the old HOF-expression + per-band-union form ran the
+    interpreted hash chain once per band)."""
+    from ..functions.sigkernel import signature_frame
+
+    sig = signature_frame(docs, SHINGLE_W, minhash=True)
+    return _explode_bands(sig, ["doc_id", "sh", "n_sh"])
 
 
 def corpus_rename(bands: DataFrame) -> DataFrame:

@@ -54,12 +54,23 @@ def test_temperature_sample_fills_quotas_exactly(spark):
     and quotas flatten the mixture: a source 4x another's size gets
     only ~2x the quota (sqrt scaling)."""
     rows = C.source_temperature_sample(spark, SF_DIR).collect()
+    # independent per-source corpus counts: the exactness claim is
+    # len(kept) == min(quota, n_s), which the operator's own rn<=quota
+    # filter cannot vacuously satisfy (r4 ADVICE: the old
+    # min(quota, len(rs)) form was a tautology)
+    n_s = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source").count().withColumnRenamed("count", "n")
+        .collect()
+    }
     per_src = defaultdict(list)
     for r in rows:
         per_src[r.source].append(r)
+    assert set(per_src) <= set(n_s)
     for src, rs in per_src.items():
         quota = rs[0].quota
-        assert len(rs) == min(quota, len(rs))
+        assert len(rs) == min(quota, n_s[src]), src
         ranks = sorted(r.sample_rank for r in rs)
         assert ranks == list(range(1, len(rs) + 1))  # lowest-hash prefix
 
@@ -101,6 +112,26 @@ def test_pii_redaction_removes_every_counted_match(spark):
         for tag, (pat, field) in pats.items():
             assert not re.search(pat, r.redacted), (r.doc_id, pat)
             assert r.redacted.count(tag) == getattr(r, field)
+
+
+def test_pii_overlapping_matches_stay_consistent(spark, tmp_path):
+    """Overlapping PII (an email whose domain is an IPv4: the r4 ADVICE
+    desync case) must keep counts == placeholders: progressive counting
+    sees the IPv4 only if it survives the email redaction."""
+    # doc_id chosen so the synthetic augmentation adds nothing
+    # (not divisible by 7 or 11)
+    rows = [(13, "mail foo@1.2.3.4.net and bare 5.6.7.8 here plus text")]
+    d = tmp_path / "pii"
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {r.doc_id: r for r in C.pii_scrub(spark, str(d)).collect()}
+    r = out[13]
+    # the email consumed its embedded IPv4; only the bare one remains
+    assert r.n_email == 1 and r.n_ipv4 == 1
+    assert r.redacted.count("<EMAIL>") == 1
+    assert r.redacted.count("<IP>") == 1
+    assert "1.2.3.4" not in r.redacted and "5.6.7.8" not in r.redacted
 
 
 def test_decontaminate_flags_planted_eval_copy(spark, tmp_path):

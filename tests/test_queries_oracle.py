@@ -25,9 +25,14 @@ def _norm(v):
 
 def _key(df):
     cols = sorted(df.columns)
+    # declared dtypes are part of the key: the driver's value-hash is
+    # dtype-sensitive, so a silent DuckDB type promotion (sum(BIGINT)
+    # -> HUGEINT -> float64/object in pandas) must fail HERE, not in
+    # CORRECTNESS_r{N}.json (r4: text_bm25_topk, seq_pack)
+    dtypes = [str(df[c].dtype) for c in cols]
     rows = sorted(tuple(_norm(r[c]) for c in cols)
                   for r in df.to_dict("records"))
-    return len(rows), cols, rows
+    return len(rows), cols, dtypes, rows
 
 
 @pytest.fixture(scope="module")
