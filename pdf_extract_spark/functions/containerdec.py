@@ -223,10 +223,78 @@ def parse_webm_duration_ms(b: bytes) -> int | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# RIFF / AVI (Microsoft AVI 1.0 chunk layout — public format spec).
+# Unlike MP4/WebM (duration-only header walks), AVI's 'movi' list gives
+# direct byte ranges for every frame chunk, and MJPEG frames are plain
+# baseline JPEGs — so this is the one container the sandbox can decode
+# to REAL PIXELS end-to-end (functions/jpegdec.py).
+# ---------------------------------------------------------------------------
+
+_AVI_MAX_CHUNKS = 100_000
+
+
+def is_riff_avi(b: bytes) -> bool:
+    return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "
+
+
+def _u32(b: bytes, pos: int) -> int:
+    return int.from_bytes(b[pos:pos + 4], "little")
+
+
+def parse_avi(b: bytes) -> dict | None:
+    """Bounded linear walk of an AVI: returns ``{us_per_frame,
+    total_frames, width, height, frames}`` where ``frames`` is the list
+    of (offset, size) byte ranges of the video stream chunks
+    ('..dc'/'..db') inside the 'movi' list, in file order.  ``None``
+    when the RIFF structure is absent or truncated."""
+    if not is_riff_avi(b):
+        return None
+    info = {"us_per_frame": 0, "total_frames": 0,
+            "width": 0, "height": 0, "frames": []}
+    limit = min(len(b), 8 + _u32(b, 4))
+    budget = [_AVI_MAX_CHUNKS]
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        while pos + 8 <= end and budget[0] > 0:
+            budget[0] -= 1
+            cc = b[pos:pos + 4]
+            sz = _u32(b, pos + 4)
+            data_end = pos + 8 + sz
+            if data_end > end:
+                return  # truncated chunk: keep what we have
+            if cc == b"LIST" and depth < 8:
+                walk(pos + 12, data_end, depth + 1)
+            elif cc == b"avih" and sz >= 40:
+                info["us_per_frame"] = _u32(b, pos + 8)
+                info["total_frames"] = _u32(b, pos + 8 + 16)
+                info["width"] = _u32(b, pos + 8 + 32)
+                info["height"] = _u32(b, pos + 8 + 36)
+            elif len(cc) == 4 and cc[2:4] in (b"dc", b"db") \
+                    and cc[:2].isdigit():
+                info["frames"].append((pos + 8, sz))
+            pos = data_end + (sz & 1)  # chunks pad to even
+
+    walk(12, limit, 0)
+    if not info["frames"] and not info["us_per_frame"]:
+        return None
+    return info
+
+
+def avi_duration_ms(b: bytes) -> int | None:
+    info = parse_avi(b)
+    if info is None:
+        return None
+    n = info["total_frames"] or len(info["frames"])
+    if n and info["us_per_frame"]:
+        return (n * info["us_per_frame"]) // 1000
+    return None
+
+
 def container_duration_ms(b: bytes) -> int | None:
     """Sniff-and-parse: real container duration when the payload is an
-    MP4/MOV or WebM/MKV header we can read, else ``None`` (caller keeps
-    the deterministic stub, so synthetic-payload oracles are
+    MP4/MOV, WebM/MKV, or AVI header we can read, else ``None`` (caller
+    keeps the deterministic stub, so synthetic-payload oracles are
     unaffected)."""
     if b is None or len(b) < 12:
         return None
@@ -234,4 +302,6 @@ def container_duration_ms(b: bytes) -> int | None:
         return parse_mp4_duration_ms(b)
     if is_ebml(b):
         return parse_webm_duration_ms(b)
+    if is_riff_avi(b):
+        return avi_duration_ms(b)
     return None

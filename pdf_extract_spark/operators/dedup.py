@@ -975,6 +975,96 @@ def ensure_sketch_table(spark: SparkSession, sf_dir: str,
     return table
 
 
+#: two-batch ingest split for the registered lifecycle query:
+#: doc_id % 10 == 5 arrives first (batch 1), % 10 == 0 second (batch 2);
+#: everything else is the bootstrap corpus
+INGEST_B1, INGEST_B2 = 5, 0
+
+
+def ingest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-ingest lifecycle as ONE registered,
+    oracle-pinned query: bootstrap the bucketed sketch from the standing
+    corpus, probe ingest batch 1 against it, APPEND batch 1's
+    signatures, then probe batch 2 against the grown sketch — so a
+    batch-2 document duplicating a batch-1 document is caught even
+    though neither was in the bootstrap corpus.  This is the loop a
+    production ingest runs forever: the corpus is hashed exactly once,
+    each batch pays only its own hashing (r4 VERDICT stretch item 7).
+
+    Emits (new_id, corpus_id, jacc, phase): phase 'b1' rows matched the
+    bootstrap corpus, 'b2' rows matched bootstrap ∪ batch 1.  Batch-1
+    probes are materialized (localCheckpoint) BEFORE the append — a
+    lazy plan would re-list the table's files after the append and see
+    its own batch as corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    mod = F.col("doc_id") % INCR_BATCH_MOD
+    old = docs.filter((mod != INGEST_B1) & (mod != INGEST_B2))
+    b1 = docs.filter(mod == INGEST_B1)
+    b2 = docs.filter(mod == INGEST_B2)
+
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    table = f"pdfx_ingest_{digest}"
+    path = os.path.join(tempfile.gettempdir(), table)
+    # overwrite-then-append keeps repeated invocations deterministic:
+    # every call rebuilds the bootstrap state before its single append
+    write_sketch_table(spark, old, table, path, buckets=8)
+    p1 = incremental_pairs_against_sketch(
+        b1, spark.table(table)
+    ).withColumn("phase", F.lit("b1")).localCheckpoint()
+    append_to_sketch_table(spark, b1, table, buckets=8)
+    p2 = incremental_pairs_against_sketch(
+        b2, spark.table(table)
+    ).withColumn("phase", F.lit("b2"))
+    return p1.unionByName(p2)
+
+
+def ingest_lifecycle_oracle() -> str:
+    mh_cols = ", ".join(
+        f"{K.minhash('sh', j, DUCK)} as mh{j}" for j in range(N_MINHASH)
+    )
+    band_rows = " union all ".join(
+        "select doc_id, ph, {bi} as band_idx,"
+        " concat_ws(',', {cols}) as band_key from sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
+    jac = K.jaccard("sa.sh", "sb.sh", "sa.n_sh", "sb.n_sh", DUCK)
+    return f"""
+        with {_SHINGLED_CTE_DUCK},
+        sig as (
+            select doc_id, sh, n_sh,
+                   case when doc_id % {INCR_BATCH_MOD} = {INGEST_B1} then 1
+                        when doc_id % {INCR_BATCH_MOD} = {INGEST_B2} then 2
+                        else 0 end as ph,
+                   {mh_cols}
+            from sized
+        ),
+        bands as ({band_rows}),
+        cand as (
+            select distinct a.doc_id as new_id, b.doc_id as corpus_id,
+                   a.ph as new_ph
+            from bands a join bands b
+              on a.band_idx = b.band_idx and a.band_key = b.band_key
+            where (a.ph = 1 and b.ph = 0)
+               or (a.ph = 2 and b.ph in (0, 1))
+        )
+        select cand.new_id, cand.corpus_id, {jac} as jacc,
+               case when cand.new_ph = 1 then 'b1' else 'b2' end as phase
+        from cand
+        join sized sa on cand.new_id = sa.doc_id
+        join sized sb on cand.corpus_id = sb.doc_id
+        where {jac} >= {JACCARD_TAU}
+    """
+
+
 def cap_band_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
     """Skew control for the LSH candidate join: drop band buckets with
     more than ``max_bucket`` members before the self-join.

@@ -270,9 +270,45 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _avi_frame_rows(doc_id, ref, payload, info,
+                    interval_ms: int, max_frames: int) -> list[dict]:
+    """REAL frame sampling for an AVI payload: pick the stream chunk
+    nearest each sample timestamp and hash its DECODED pixels — MJPEG
+    frames ('..dc' chunks that are baseline JPEGs) run through the
+    from-scratch decoder in functions/jpegdec.py and aHash; frames the
+    decoder cannot take (non-JPEG codecs) fall back to a content hash
+    of the raw chunk bytes, still real per-frame evidence."""
+    from ..functions.jpegdec import decode_jpeg_luma
+    from ..functions.mediacodec import ahash64
+
+    frames = info["frames"]
+    upf = info["us_per_frame"] or 33_333  # degenerate header: assume 30fps
+    duration_ms = ((info["total_frames"] or len(frames)) * upf) // 1000
+    n = int(min(max_frames, 1 + duration_ms // interval_ms,
+                len(frames)))
+    rows = []
+    for i in range(n):
+        ts = i * interval_ms
+        fi = min((ts * 1000) // upf, len(frames) - 1)
+        off, sz = frames[fi]
+        raw = payload[off:off + sz]
+        decoded = decode_jpeg_luma(raw) if raw[:2] == b"\xff\xd8" else None
+        if decoded is not None:
+            _, _, luma = decoded
+            fh = ahash64(luma)
+        else:
+            fh = polyhash_bytes(raw)
+        rows.append({
+            "doc_id": doc_id, "media_ref": ref, "frame_idx": i,
+            "timestamp_ms": ts, "frame_ref": f"{ref}#f{int(fi)}",
+            "frame_hash": fh,
+        })
+    return rows
+
+
 def _frame_batches(batches: Iterator[pd.DataFrame],
                    interval_ms: int, max_frames: int) -> Iterator[pd.DataFrame]:
-    from ..functions.containerdec import container_duration_ms
+    from ..functions.containerdec import container_duration_ms, parse_avi
 
     cols = [f.name for f in FRAME_SCHEMA.fields]
     for b in batches:
@@ -281,12 +317,21 @@ def _frame_batches(batches: Iterator[pd.DataFrame],
             b["doc_id"], b["media_ref"], b["payload"]
         ):
             payload = bytes(payload) if payload is not None else b""
+            # REAL pixels for AVI payloads: the movi list gives frame
+            # byte ranges and MJPEG frames decode via jpegdec (magic-
+            # gated — synthetic oracle payloads have no RIFF magic)
+            if payload[:4] == b"RIFF":
+                info = parse_avi(payload)
+                if info and info["frames"]:
+                    out.extend(_avi_frame_rows(
+                        doc_id, ref, payload, info,
+                        interval_ms, max_frames))
+                    continue
             ph = polyhash_bytes(payload)
             # Real duration when the payload is an MP4/WebM whose header
-            # we can walk (magic-gated — synthetic oracle payloads have
-            # no container magic and stay on the stub); frame DECODE
-            # still needs a registered decoder, but the sampling fan-out
-            # is now driven by the true container duration.
+            # we can walk (magic-gated); frame DECODE for those still
+            # needs a registered decoder, but the sampling fan-out is
+            # driven by the true container duration.
             duration_ms = container_duration_ms(payload)
             if duration_ms is None:
                 # STUB duration (deterministic, SQL-replayable)

@@ -562,6 +562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup.duplicate_clusters,
     "dedup_incremental": dedup.incremental_dedup_pairs,
     "dedup_sketch_pairs": dedup.sketch_pairs,
+    "dedup_ingest_lifecycle": dedup.ingest_lifecycle,
     "text_gopher_quality": textstats.gopher_quality,
     "text_repetition": textstats.repetition_stats,
     "text_passage_boilerplate": textstats.passage_boilerplate,
@@ -611,6 +612,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": dedup.embedding_neardup_pairs_oracle(),
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
+    "dedup_ingest_lifecycle": dedup.ingest_lifecycle_oracle(),
     # the sketch-table path must reproduce the in-plan LSH row set
     # exactly — same oracle SQL, corpus hashed once at write time
     "dedup_sketch_pairs": dedup.minhash_lsh_pairs_oracle(),

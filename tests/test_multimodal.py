@@ -1091,3 +1091,89 @@ class TestContainerDurations:
         assert [r["timestamp_ms"] for r in sorted(
             per["vid://a"], key=lambda r: r["frame_idx"])] == [
             i * FRAME_INTERVAL_MS for i in range(5)]
+
+
+class TestAviRealFrames:
+    """MJPEG-in-AVI: the one container the sandbox decodes to real
+    pixels end-to-end (RIFF walk in containerdec + jpegdec + aHash —
+    r4 VERDICT stretch item 8)."""
+
+    @staticmethod
+    def _mjpeg_avi(frames_px, us_per_frame=1_000_000):
+        """Minimal AVI 1.0: RIFF(AVI ) { LIST(hdrl){avih},
+        LIST(movi){00dc...} } with one baseline JPEG per frame."""
+        import struct
+
+        from jpeg_encoder import encode_jpeg
+
+        def chunk(cc, data):
+            pad = b"\x00" if len(data) & 1 else b""
+            return cc + struct.pack("<I", len(data)) + data + pad
+
+        def lst(kind, inner):
+            return chunk(b"LIST", kind + inner)
+
+        h, w = frames_px[0].shape
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII",
+            us_per_frame, 0, 0, 0, len(frames_px), 0, 1, 0, w, h,
+            0, 0, 0, 0)
+        movi = b"".join(chunk(b"00dc", encode_jpeg(f)) for f in frames_px)
+        body = b"AVI " + lst(b"hdrl", chunk(b"avih", avih)) \
+            + lst(b"movi", movi)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_parse_avi_walk(self):
+        import numpy as np
+
+        from pdf_extract_spark.functions.containerdec import (
+            avi_duration_ms,
+            parse_avi,
+        )
+
+        frames = [np.full((16, 16), 40.0 * i) for i in range(4)]
+        payload = self._mjpeg_avi(frames)
+        info = parse_avi(payload)
+        assert info is not None
+        assert info["total_frames"] == 4
+        assert (info["width"], info["height"]) == (16, 16)
+        assert len(info["frames"]) == 4
+        # every recorded range is a JPEG
+        for off, sz in info["frames"]:
+            assert payload[off:off + 2] == b"\xff\xd8"
+        assert avi_duration_ms(payload) == 4000
+
+    def test_frame_sample_decodes_real_pixels(self, spark):
+        """Sampled frame hashes are the aHash of the DECODED pixels —
+        distinct per frame for distinct content, equal for re-encoded
+        identical content — and timestamps map to the right frame."""
+        import numpy as np
+
+        from pdf_extract_spark.functions.jpegdec import decode_jpeg_luma
+        from pdf_extract_spark.functions.mediacodec import ahash64
+        from pdf_extract_spark.operators.multimodal import (
+            video_frame_sample,
+        )
+
+        from jpeg_encoder import encode_jpeg
+
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 256, (16, 16)).astype(float)
+        frames = [base, 255.0 - base, base.T.copy()]
+        # 5 s per frame -> 15 s duration; 5 s sampling hits frame i at
+        # timestamp 5i exactly (n = min(8, 1 + 15000//5000, 3) = 3)
+        payload = self._mjpeg_avi(frames, us_per_frame=5_000_000)
+        df = spark.createDataFrame(
+            [("d1", "vid://avi", payload)],
+            "doc_id string, media_ref string, payload binary")
+        rows = sorted(video_frame_sample(df).collect(),
+                      key=lambda r: r.frame_idx)
+        assert len(rows) == 3
+        assert [r.timestamp_ms for r in rows] == [0, 5000, 10000]
+        assert [r.frame_ref.split("#")[-1] for r in rows] == [
+            "f0", "f1", "f2"]
+        for r, f in zip(rows, frames):
+            _, _, luma = decode_jpeg_luma(encode_jpeg(f))
+            assert r.frame_hash == ahash64(luma)
+        # distinct content -> distinct pixel hashes
+        assert len({r.frame_hash for r in rows}) == 3

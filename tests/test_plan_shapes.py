@@ -350,6 +350,24 @@ def test_sketch_append_lifecycle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS sketch_app_t")
 
 
+def test_ingest_lifecycle_append_is_observable(spark):
+    """The registered lifecycle query's phase-2 probe must see batch 1
+    as corpus: at sf0.001 at least one b2 pair's corpus_id is a batch-1
+    doc (doc_id % 10 == 5) — a pair that would NOT exist if the append
+    step were dropped.  Phase-1 pairs must never name a batch doc as
+    corpus (the bootstrap excludes both batches)."""
+    from pdf_extract_spark.operators import dedup
+
+    rows = dedup.ingest_lifecycle(spark, SF_DIR).collect()
+    assert rows
+    b1 = [r for r in rows if r.phase == "b1"]
+    b2 = [r for r in rows if r.phase == "b2"]
+    assert all(r.new_id % 10 == 5 and r.corpus_id % 10 not in (0, 5)
+               for r in b1)
+    assert all(r.new_id % 10 == 0 and r.corpus_id % 10 != 0 for r in b2)
+    assert any(r.corpus_id % 10 == 5 for r in b2)  # append mattered
+
+
 def test_decontaminate_broadcasts_eval_grams(spark):
     """The eval-set n-gram side is small by construction and must
     broadcast — a shuffled corpus⋈eval join would shuffle the full

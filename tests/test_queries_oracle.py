@@ -64,6 +64,13 @@ def test_registry_covers_oracles():
 
     assert set(ORACLES) <= set(QUERIES)
     assert "extract_spans_synth" in QUERIES
+    # README's registry-count claim — update BOTH when adding queries
+    assert len(QUERIES) == 48
+    assert len(ORACLES) == 46
+    # every non-oracle query is one of the two rows-only extraction
+    # pipelines, never a silently-unchecked operator
+    assert set(QUERIES) - set(ORACLES) == {
+        "extract_spans_synth", "extract_html_synth"}
 
 
 def test_minhash_subset_of_exact_jaccard(spark):
