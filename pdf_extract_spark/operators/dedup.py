@@ -229,7 +229,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total tie-break); probe count = n - ⌈τ·n⌉ + 1, integer-exact:
     # ⌈4n/5⌉ = (4n+4) DIV 5
     win = Window.partitionBy("doc_id").orderBy("df", "h")
-    pos = (
+    # persisted: pos feeds BOTH the probe side (filtered prefix) and
+    # the index side of the candidate join — without it the explode +
+    # document-frequency agg + rank window execute once per branch
+    pos = track_cache(
         occ.join(freq, "h")
         .withColumn("rn", F.row_number().over(win))
         .select("doc_id", "n_sh", "h", "rn")
