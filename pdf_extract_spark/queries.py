@@ -71,7 +71,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import curation, textstats
+from .functions import bpe, curation, textstats
 from .operators import dedup, multimodal, similarity
 
 BOILER_DOC_FRAC = 0.30
@@ -583,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_pack": curation.seq_pack,
     "source_temperature_sample": curation.source_temperature_sample,
     "stratified_split": curation.stratified_split,
+    "bpe_merges": bpe.bpe_merges,
     "text_normalize": text_normalize,
     "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
@@ -613,6 +614,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": dedup.duplicate_clusters_oracle(),
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
     "dedup_ingest_lifecycle": dedup.ingest_lifecycle_oracle(),
+    "bpe_merges": bpe.bpe_merges_oracle(),
     # the sketch-table path must reproduce the in-plan LSH row set
     # exactly — same oracle SQL, corpus hashed once at write time
     "dedup_sketch_pairs": dedup.minhash_lsh_pairs_oracle(),

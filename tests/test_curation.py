@@ -161,3 +161,30 @@ def test_decontaminate_flags_planted_eval_copy(spark, tmp_path):
     assert copy_id in flagged
     assert flagged[copy_id].contaminated
     assert flagged[copy_id].hit_ratio == 1.0
+
+
+def test_bpe_merges_classic_example(spark, tmp_path):
+    """The Sennrich-paper-style vocabulary (low:5 lower:2 newest:6
+    widest:3) has a hand-computable merge sequence — pins the
+    algorithm (weighted pair counts, lexicographic tie-break,
+    left-to-right merge) independently of the DuckDB oracle."""
+    from pdf_extract_spark.functions.bpe import bpe_merges
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    d = tmp_path / "bpe"
+    spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "documents.parquet"))
+    rows = sorted(bpe_merges(spark, str(d), n_merges=8).collect(),
+                  key=lambda r: r.step)
+    got = [(r.step, r.pa, r.cnt) for r in rows]
+    assert got == [
+        (1, "e s", 9),
+        (2, "es t", 9),
+        (3, "l o", 7),
+        (4, "lo w", 7),
+        (5, "e w", 6),
+        (6, "ew est", 6),
+        (7, "n ewest", 6),
+        (8, "d est", 3),
+    ]
