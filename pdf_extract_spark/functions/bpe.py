@@ -98,11 +98,11 @@ def merge_expr(s: str, pa: str, d: str) -> str:
     return f"replace({s}, {pat}, {rep})"
 
 
-def bpe_merges(spark: SparkSession, sf_dir: str,
-               n_merges: int = BPE_MERGES) -> DataFrame:
-    """The first ``n_merges`` BPE merges over the corpus vocabulary:
-    (step, pa, cnt) — merge rank, the merged pair ('a b'), and its
-    weighted adjacency count at selection time."""
+def _bpe_chain(spark: SparkSession, sf_dir: str,
+               n_merges: int) -> tuple[DataFrame, DataFrame]:
+    """(merges, segmented_vocab): the k greedy merges (step, pa, cnt)
+    and the vocab table with all k merges applied — the trained
+    segmentation every apply-side consumer reads."""
     toks = K.tokens("text", SPARK)
     vocab = (
         _docs(spark, sf_dir)
@@ -130,10 +130,52 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
         w = w.crossJoin(F.broadcast(best.select(F.col("pa").alias("_pa")))) \
             .select("word", "n",
                     F.expr(merge_expr("s", "_pa", SPARK)).alias("s"))
-    return out
+    return out, w
 
 
-def bpe_merges_oracle(n_merges: int = BPE_MERGES) -> str:
+def bpe_merges(spark: SparkSession, sf_dir: str,
+               n_merges: int = BPE_MERGES) -> DataFrame:
+    """The first ``n_merges`` BPE merges over the corpus vocabulary:
+    (step, pa, cnt) — merge rank, the merged pair ('a b'), and its
+    weighted adjacency count at selection time."""
+    return _bpe_chain(spark, sf_dir, n_merges)[0]
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str,
+                     n_merges: int = BPE_MERGES) -> DataFrame:
+    """The APPLY step: per-document subword statistics under the
+    trained merges — (doc_id, n_tok, n_subword, ratio).  The segmented
+    vocab (word → symbol count after k merges) joins back to the
+    exploded corpus words; at 100 TB the vocab side is the small one
+    (distinct words), so the join broadcasts and the apply is
+    map-side — the plan-shape a production subword tokenizer pass has.
+    ``ratio`` = subwords per whitespace token, the fertility metric
+    tokenizer evaluations report."""
+    _, w = _bpe_chain(spark, sf_dir, n_merges)
+    seg = w.select(
+        "word",
+        F.expr(K.asize(syms("s", SPARK), SPARK)).cast("bigint")
+        .alias("n_sym"),
+    )
+    toks = K.tokens("text", SPARK)
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(toks)).alias("word"))
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("n_sym").cast("bigint").alias("n_subword"),
+        )
+        .select(
+            "doc_id", "n_tok", "n_subword",
+            F.expr("round(cast(n_subword as double) / n_tok, 6)")
+            .alias("ratio"),
+        )
+    )
+
+
+def _bpe_ctes(n_merges: int) -> str:
     toks = K.tokens("text", DUCK)
     ctes = [
         f"""w0 as (
@@ -158,6 +200,31 @@ def bpe_merges_oracle(n_merges: int = BPE_MERGES) -> str:
             select w.word, w.n, {merge_expr('w.s', 'b.pa', DUCK)} as s
             from w{i - 1} w, b{i} b
         )""")
+    return ",\n".join(ctes)
+
+
+def bpe_merges_oracle(n_merges: int = BPE_MERGES) -> str:
     union = " union all ".join(
         f"select step, pa, cnt from b{i}" for i in range(1, n_merges + 1))
-    return "with " + ",\n".join(ctes) + "\n" + union
+    return "with " + _bpe_ctes(n_merges) + "\n" + union
+
+
+def bpe_encode_stats_oracle(n_merges: int = BPE_MERGES) -> str:
+    toks = K.tokens("text", DUCK)
+    n_sym = K.asize(syms("w.s", DUCK), DUCK)
+    return f"""
+        with {_bpe_ctes(n_merges)},
+        seg as (
+            select word, cast({n_sym} as bigint) as n_sym
+            from w{n_merges} w
+        ),
+        words as (
+            select doc_id, unnest({toks}) as word from documents
+        )
+        select doc_id,
+               cast(count(*) as bigint) as n_tok,
+               cast(sum(n_sym) as bigint) as n_subword,
+               round(cast(sum(n_sym) as double) / count(*), 6) as ratio
+        from words join seg using (word)
+        group by doc_id
+    """

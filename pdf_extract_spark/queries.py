@@ -584,6 +584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_temperature_sample": curation.source_temperature_sample,
     "stratified_split": curation.stratified_split,
     "bpe_merges": bpe.bpe_merges,
+    "bpe_encode_stats": bpe.bpe_encode_stats,
     "text_normalize": text_normalize,
     "text_context_words": text_context_words,
     "multimodal_features": multimodal.multimodal_features,
@@ -615,6 +616,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": dedup.incremental_dedup_pairs_oracle(),
     "dedup_ingest_lifecycle": dedup.ingest_lifecycle_oracle(),
     "bpe_merges": bpe.bpe_merges_oracle(),
+    "bpe_encode_stats": bpe.bpe_encode_stats_oracle(),
     # the sketch-table path must reproduce the in-plan LSH row set
     # exactly — same oracle SQL, corpus hashed once at write time
     "dedup_sketch_pairs": dedup.minhash_lsh_pairs_oracle(),
