@@ -48,7 +48,12 @@ Grouping (SURVEY.md §2 ids in parens):
     source_temperature_sample (α=1/2 mixture flattening, integer-exact
     per-source quotas from a broadcast weight table),
     stratified_split (exact 8/1/1 train/valid/test cut per source
-    stratum, hash-permuted, all-integer thresholds)
+    stratum, hash-permuted, all-integer thresholds),
+    dedup_ingest_lifecycle (bootstrap → probe → append → re-probe: the
+    full incremental-ingest loop, oracle-pinned end to end),
+    bpe_merges / bpe_encode_stats (distributed BPE merge training over
+    the corpus vocabulary + the per-document subword-fertility apply
+    step — functions/bpe.py)
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain

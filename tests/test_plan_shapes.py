@@ -350,6 +350,32 @@ def test_sketch_append_lifecycle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS sketch_app_t")
 
 
+def test_simhash_fingerprints_is_narrow_kernel(spark):
+    """The in-kernel simhash is a zero-shuffle plan: scan → (gated
+    round-robin repartition) → one Arrow map. No hash Exchange, no
+    aggregate — the r4 explode + 32-vote form shuffled every shingle
+    hash on doc_id."""
+    from pdf_extract_spark.queries import QUERIES
+
+    plan = _physical(QUERIES["simhash_fingerprints"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_bpe_no_cartesian_no_python(spark):
+    """BPE training: the only nested loops are the broadcast 1-row
+    merge applications; nothing quadratic, no Python eval nodes (the
+    vocab-side HOF lambdas are interpreted but vocab-sized)."""
+    from pdf_extract_spark.queries import QUERIES
+
+    for name in ("bpe_merges", "bpe_encode_stats"):
+        plan = _physical(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
 def test_ingest_lifecycle_append_is_observable(spark):
     """The registered lifecycle query's phase-2 probe must see batch 1
     as corpus: at sf0.001 at least one b2 pair's corpus_id is a batch-1
