@@ -105,24 +105,32 @@ def polyhash_strings(strings: list[str]) -> np.ndarray:
     return out
 
 
-def _doc_shingles(text: str, w: int) -> list[str]:
-    """Distinct w-token shingle strings, first-occurrence order — the
-    Python twin of ``sqlkit.token_shingles(tokens(text))``: split on
-    single spaces, drop empties, windows of w (a doc shorter than w
-    tokens yields its full join as the single shingle; an empty doc the
-    empty string)."""
+def _doc_shingles(text: str, w: int, distinct: bool = True,
+                  pad_short: bool = True) -> list[str]:
+    """w-token shingle strings — the Python twin of
+    ``sqlkit.token_shingles(tokens(text))``: split on single spaces,
+    drop empties, windows of w.  ``distinct`` keeps first occurrences
+    only (the set-semantics default every dedup consumer uses);
+    ``distinct=False`` keeps every window in positional order (the
+    exact-substring marking path).  ``pad_short`` controls docs shorter
+    than w tokens: the full join as the single shingle (set semantics)
+    vs no windows at all (positional semantics — a doc without a full
+    w-gram has nothing to mark)."""
     toks = [t for t in text.split(" ") if t]
     n = len(toks)
-    if n <= w:
+    if n < w:
+        wins = [" ".join(toks)] if pad_short else []
+    elif n == w:
         wins = [" ".join(toks)]
     else:
         wins = [" ".join(toks[i:i + w]) for i in range(n - w + 1)]
-    return list(dict.fromkeys(wins))
+    return list(dict.fromkeys(wins)) if distinct else wins
 
 
 def batch_signatures(
     texts: list[str | None], w: int,
     want_minhash: bool, want_simhash: bool,
+    distinct: bool = True, pad_short: bool = True,
 ) -> tuple[list, list, list[np.ndarray] | None, np.ndarray | None]:
     """Signatures for one batch of documents.
 
@@ -130,7 +138,11 @@ def batch_signatures(
     for None texts are None (matching the HOF fragments: every
     expression of a NULL text is NULL). ``minhash_cols`` is a list of
     N_MINHASH arrays aligned to the non-null compaction — callers use
-    the returned sh_lists' None positions to re-expand."""
+    the returned sh_lists' None positions to re-expand.
+    ``distinct=False`` keeps every window in positional order (see
+    :func:`_doc_shingles`); min-wise values are unaffected by
+    duplicates, but simhash votes are set-semantics — callers wanting
+    simhash must keep ``distinct=True``."""
     shingles: list[str] = []
     counts: list[int] = []
     nn_idx: list[int] = []
@@ -138,7 +150,7 @@ def batch_signatures(
         if t is None:
             continue
         nn_idx.append(i)
-        u = _doc_shingles(t, w)
+        u = _doc_shingles(t, w, distinct, pad_short)
         shingles.extend(u)
         counts.append(len(u))
     hashes = polyhash_strings(shingles)
@@ -147,12 +159,15 @@ def batch_signatures(
     sh_lists: list = [None] * n
     n_sh: list = [None] * n
     # per-doc dedupe of hash VALUES (distinct shingles may collide),
-    # preserving first-occurrence order — array_distinct semantics
+    # preserving first-occurrence order — array_distinct semantics.
+    # (positional mode keeps every window's hash as-is)
     uniq_parts: list[np.ndarray] = []
     off = 0
     for k, i in enumerate(nn_idx):
         c = counts[k]
-        hv = pd.unique(hashes[off:off + c])
+        hv = hashes[off:off + c]
+        if distinct:
+            hv = pd.unique(hv)
         off += c
         uniq_parts.append(hv)
         sh_lists[i] = hv.tolist()
@@ -160,6 +175,11 @@ def batch_signatures(
 
     mh_cols = None
     sim = None
+    if want_minhash or want_simhash:
+        # reduceat segments must be non-empty: signature consumers use
+        # set semantics where every doc has >= 1 shingle
+        assert distinct and pad_short, \
+            "minhash/simhash require distinct set semantics"
     if (want_minhash or want_simhash) and uniq_parts:
         flat = np.concatenate(uniq_parts)
         seg_lens = np.fromiter((len(p) for p in uniq_parts),
@@ -182,7 +202,9 @@ def batch_signatures(
 
 def signature_frame(docs: DataFrame, w: int,
                     minhash: bool = True,
-                    simhash: bool = False) -> DataFrame:
+                    simhash: bool = False,
+                    distinct: bool = True,
+                    pad_short: bool = True) -> DataFrame:
     """``doc_id, sh, n_sh[, mh0..mh7][, simhash]`` for a ``doc_id, text``
     frame, computed by the vectorized kernel as a narrow Arrow map over
     the scan. Values are bit-identical to the HOF-fragment form
@@ -203,7 +225,7 @@ def signature_frame(docs: DataFrame, w: int,
             texts = [None if t is None or (isinstance(t, float))
                      else t for t in pdf["text"]]
             sh_lists, n_sh, mh_cols, sim = batch_signatures(
-                texts, w, minhash, simhash)
+                texts, w, minhash, simhash, distinct, pad_short)
             out = {"doc_id": pdf["doc_id"],
                    "sh": pd.Series(sh_lists, dtype="object"),
                    "n_sh": pd.array(n_sh, dtype="Int32")}

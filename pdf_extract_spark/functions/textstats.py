@@ -415,6 +415,107 @@ def passage_boilerplate_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# exact-substring repeated spans (Lee et al. 2022-style dedup signal)
+# ---------------------------------------------------------------------------
+
+EXACT_W = 8  # k-gram width: repeated spans of >= EXACT_W tokens are found
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repeated-span detection — the token-range form
+    of "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al. 2022, public): find, per document, every maximal token span
+    of ≥ ``EXACT_W`` tokens whose every ``EXACT_W``-gram occurs more
+    than once in the corpus (including within-document repeats).  The
+    suffix-array pipeline of the paper reduces, on a shared-nothing
+    engine, to POSITIONAL k-gram marking: a repeated span of length
+    ≥ k is exactly a maximal run of consecutive repeated-k-gram start
+    positions — no suffix array, two shuffles.
+
+    Emits (doc_id, span_start, span_end, span_tokens, n_grams) with
+    1-based inclusive token positions — the cut-list a span-removal
+    pass consumes.  Hash collisions can in principle over-mark (both
+    engines hash identically, so the oracle still matches); production
+    removal verifies the marked bytes before cutting, same as the LSH
+    verify step.
+
+    Scale shape at 100 TB: positional k-gram hashes from the
+    vectorized kernel (narrow Arrow map), one hash-agg on the gram
+    hash (near-uniform key), one window keyed on doc_id for the
+    run-length grouping.  Nothing quadratic, no per-row Python."""
+    from pyspark.sql.window import Window
+
+    from .sigkernel import signature_frame
+
+    g = signature_frame(_docs(spark, sf_dir), EXACT_W,
+                        minhash=False, distinct=False, pad_short=False)
+    occ = g.select(
+        "doc_id", F.posexplode("sh").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+    cnt = occ.groupBy("h").agg(F.count("*").alias("c"))
+    marked = occ.join(cnt, "h").filter(F.col("c") > 1)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(win))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(EXACT_W - 1)).alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+def exact_substring_spans_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    n = K.asize("toks", DUCK)
+    parts = ", ".join(K.at("toks", f"i + {k}", DUCK)
+                      for k in range(EXACT_W))
+    windows = K.xform(
+        f"range(1, greatest({n} - {EXACT_W} + 2, 1))",
+        f"i -> concat_ws(' ', {parts})", DUCK)
+    grams = K.xform(windows, f"s -> {K.polyhash('s', DUCK)}", DUCK)
+    return f"""
+        with t as (
+            select doc_id, {grams} as g
+            from (select doc_id, {toks} as toks from documents)
+        ),
+        occ as (
+            select doc_id, cast(unnest(range(1, len(g) + 1)) as bigint)
+                       as pos,
+                   unnest(g) as h
+            from t
+        ),
+        cnt as (select h, count(*) as c from occ group by h),
+        marked as (
+            select o.doc_id, o.pos from occ o join cnt using (h)
+            where c > 1
+        ),
+        runs as (
+            select doc_id, pos,
+                   pos - row_number() over (partition by doc_id
+                                            order by pos) as grp
+            from marked
+        )
+        select doc_id,
+               cast(min(pos) as bigint) as span_start,
+               cast(max(pos) + {EXACT_W - 1} as bigint) as span_end,
+               cast(max(pos) - min(pos) + {EXACT_W} as bigint)
+                   as span_tokens,
+               cast(count(*) as bigint) as n_grams
+        from runs
+        group by doc_id, grp
+    """
+
+
+# ---------------------------------------------------------------------------
 # BM25 scored retrieval (training-data curation by query relevance)
 # ---------------------------------------------------------------------------
 

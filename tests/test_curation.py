@@ -188,3 +188,29 @@ def test_bpe_merges_classic_example(spark, tmp_path):
         (7, "n ewest", 6),
         (8, "d est", 3),
     ]
+
+
+def test_exact_substring_spans_planted(spark, tmp_path):
+    """Two documents sharing a verbatim 10-token passage: the operator
+    must emit exactly that span in each doc (1-based inclusive token
+    positions), and nothing for the unique doc."""
+    from pdf_extract_spark.functions.textstats import (
+        EXACT_W,
+        exact_substring_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(10))  # 10 tokens
+    rows = [
+        (1, "alpha beta gamma " + shared + " tail1 tail2"),
+        (2, "x1 " + shared + " y1 y2 y3"),
+        (3, "only unique tokens here nothing repeated at all kept"),
+    ]
+    d = tmp_path / "ess"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens, r.n_grams)
+           for r in exact_substring_spans(spark, str(d)).collect()}
+    # doc 1: shared at tokens 4..13; doc 2: at tokens 2..11
+    assert got[1] == (4, 13, 10, 10 - EXACT_W + 1)
+    assert got[2] == (2, 11, 10, 10 - EXACT_W + 1)
+    assert 3 not in got
