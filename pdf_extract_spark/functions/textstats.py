@@ -515,6 +515,124 @@ def exact_substring_spans_oracle() -> str:
     """
 
 
+def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of exact-substring dedup: re-emit every document
+    with all repeated spans (≥ ``EXACT_W`` tokens, per
+    :func:`exact_substring_spans`) cut out — the conservative
+    remove-all-copies variant of Lee et al.'s span removal (the
+    keep-one-occurrence policy needs a cross-document occurrence
+    pairing; corpora that want it run keep_canonical-style selection on
+    the span groups first).
+
+    Emits (doc_id, n_tok, n_removed, clean_text).  Order-sensitive
+    reassembly is deterministic: kept tokens are collected as
+    (pos, token) structs and sorted in-plan (``sort_array``) before
+    joining — never a bare ``collect_list`` whose order is partition
+    timing.
+
+    Scale shape: the span detection's two shuffles, plus one doc-keyed
+    aggregation for the rebuild; the token explode is scan-local."""
+    from pyspark.sql.window import Window
+
+    from .sigkernel import signature_frame
+
+    docs = _docs(spark, sf_dir)
+    g = signature_frame(docs, EXACT_W,
+                        minhash=False, distinct=False, pad_short=False)
+    occ = g.select(
+        "doc_id", F.posexplode("sh").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+    cnt = occ.groupBy("h").agg(F.count("*").alias("c"))
+    # covered token positions: each marked gram start p covers
+    # p .. p+W-1; explode the small per-gram range and dedup
+    covered = (
+        occ.join(cnt, "h").filter(F.col("c") > 1)
+        .select("doc_id", F.explode(F.expr(
+            f"sequence(pos, pos + {EXACT_W - 1})")).alias("tpos"))
+        .distinct()
+    )
+    toks = (
+        docs.select("doc_id", F.posexplode(
+            F.expr(K.tokens("text", SPARK))).alias("tpos0", "tok"))
+        .select("doc_id", (F.col("tpos0") + 1).cast("bigint").alias("tpos"),
+                "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(tpos, tok))), x -> x.tok), ' ')").alias("clean_text"),
+             F.count("*").alias("n_kept"))
+    )
+    totals = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_tok",
+            (F.col("n_tok") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def remove_repeated_spans_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    n = K.asize("toks", DUCK)
+    parts = ", ".join(K.at("toks", f"i + {k}", DUCK)
+                      for k in range(EXACT_W))
+    windows = K.xform(
+        f"range(1, greatest({n} - {EXACT_W} + 2, 1))",
+        f"i -> concat_ws(' ', {parts})", DUCK)
+    grams = K.xform(windows, f"s -> {K.polyhash('s', DUCK)}", DUCK)
+    return f"""
+        with t as (
+            select doc_id, toks, {grams} as g
+            from (select doc_id, {toks} as toks from documents)
+        ),
+        occ as (
+            select doc_id,
+                   cast(unnest(range(1, len(g) + 1)) as bigint) as pos,
+                   unnest(g) as h
+            from t
+        ),
+        cnt as (select h, count(*) as c from occ group by h),
+        covered as (
+            select distinct o.doc_id,
+                   cast(unnest(range(o.pos, o.pos + {EXACT_W})) as bigint)
+                       as tpos
+            from occ o join cnt using (h)
+            where c > 1
+        ),
+        tok as (
+            select doc_id,
+                   cast(unnest(range(1, len(toks) + 1)) as bigint) as tpos,
+                   unnest(toks) as tok
+            from t
+        ),
+        kept as (
+            select tok.* from tok
+            anti join covered using (doc_id, tpos)
+        ),
+        rebuilt as (
+            select doc_id,
+                   string_agg(tok, ' ' order by tpos) as clean_text,
+                   cast(count(*) as bigint) as n_kept
+            from kept group by doc_id
+        ),
+        totals as (
+            select doc_id, cast(count(*) as bigint) as n_tok
+            from tok group by doc_id
+        )
+        select t.doc_id, t.n_tok,
+               cast(t.n_tok - coalesce(r.n_kept, 0) as bigint) as n_removed,
+               coalesce(r.clean_text, '') as clean_text
+        from totals t left join rebuilt r using (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # BM25 scored retrieval (training-data curation by query relevance)
 # ---------------------------------------------------------------------------

@@ -214,3 +214,29 @@ def test_exact_substring_spans_planted(spark, tmp_path):
     assert got[1] == (4, 13, 10, 10 - EXACT_W + 1)
     assert got[2] == (2, 11, 10, 10 - EXACT_W + 1)
     assert 3 not in got
+
+
+def test_remove_repeated_spans_planted(spark, tmp_path):
+    """The apply step cuts exactly the planted shared passage from both
+    docs and leaves the unique doc byte-identical."""
+    from pdf_extract_spark.functions.textstats import (
+        remove_repeated_spans,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, "alpha beta gamma " + shared + " tail1 tail2"),
+        (2, "x1 " + shared + " y1 y2 y3"),
+        (3, "only unique tokens here nothing repeated at all kept"),
+    ]
+    d = tmp_path / "rrs"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           remove_repeated_spans(spark, str(d)).collect()}
+    assert got[1].clean_text == "alpha beta gamma tail1 tail2"
+    assert got[1].n_removed == 10 and got[1].n_tok == 15
+    assert got[2].clean_text == "x1 y1 y2 y3"
+    assert got[2].n_removed == 10 and got[2].n_tok == 14
+    assert got[3].clean_text == rows[2][1]
+    assert got[3].n_removed == 0
