@@ -634,6 +634,154 @@ def remove_repeated_spans_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, cross-engine)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_W = 22                # rho window: bits 8..29 of the mixed hash
+#: Flajolet et al. 2007 bias constant for m=256, folded with the
+#: m²·2^30 scale into ONE double literal (engines would otherwise
+#: associate the multiplications differently — and DuckDB parses a bare
+#: decimal literal as DECIMAL, overflowing on ·m²)
+HLL_NUMER = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * (1 << 30))
+
+
+def _hll_rho(v: str, d: str) -> str:
+    """Leading-zero rank of ``v`` inside a 22-bit window: ``bin()`` is
+    integer-exact in both engines (a float log2 at a power-of-two
+    boundary is not)."""
+    return (f"(case when {v} = 0 then {HLL_W + 1} "
+            f"else {HLL_W + 1} - length(bin({v})) end)")
+
+
+def _hll_mix(h: str, d: str) -> str:
+    """Avalanche finalizer over the polyhash (murmur3's public fmix
+    constants, overflow-safe in bigint: a 30-bit value × a 32-bit
+    constant stays under 2^63, so ANSI mode never trips).  The raw
+    polynomial hash of SEQUENTIAL keys is a lattice — its high bits are
+    far from uniform, which biases every leading-zero estimator; two
+    multiply-xorshift rounds restore the uniformity HLL's analysis
+    assumes (measured: 20k sequential tokens estimate 9.7k raw vs
+    20.3k mixed)."""
+    def shr(x: str, n: int) -> str:
+        return (f"shiftright({x}, {n})" if d == SPARK
+                else f"({x} >> {n})")
+
+    z1 = f"({h} * {0x85EBCA6B})"
+    z1x = f"({K.bxor(z1, shr(z1, 13), d)})"
+    z2 = f"(({z1x} & {0x7FFFFFFF}) * {0xC2B2AE35})"
+    return f"({K.bxor(z2, shr(z2, 16), d)})"
+
+
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source approximate distinct-token count via a from-scratch
+    HyperLogLog (Flajolet/Fusy/Gandouet/Meunier 2007, public) — the
+    sketch a 100 TB profiler uses where ``count(distinct)`` would
+    shuffle every token: per-register max-rho is a plain hash
+    aggregate, mergeable across partitions/days/segments by register
+    max.  Engine builtins (Spark HLL++ vs DuckDB's ApproxCountDistinct)
+    are NOT cross-checkable — different hash, different bias tables —
+    so this implementation IS the oracle-able sketch: polyhash →
+    8-bit register / 22-bit rho window (``bin()``-based, integer-exact),
+    register sums in scaled INTEGERS (2^(30-rho), order-free), one
+    float division + the small-range linear-counting branch at the end,
+    rounded to 3 decimals to absorb last-ulp libm ``ln`` differences.
+
+    Emits (source, n_exact, n_est, rel_err) — the exact distinct-hash
+    count rides along at test scale so the error is visible and
+    oracle-checked; production drops it."""
+    hv = K.polyhash("tok", SPARK)
+    occ = _docs(spark, sf_dir).select(
+        "source", F.explode(F.expr(K.tokens("text", SPARK))).alias("tok")
+    ).select("source", F.expr(_hll_mix(f"({hv})", SPARK)).alias("h"))
+    per_bucket = (
+        occ.groupBy("source", F.expr(f"h & {HLL_M - 1}").alias("bucket"))
+        .agg(F.max(F.expr(_hll_rho(
+            f"(shiftright(h, {HLL_P}) & {(1 << HLL_W) - 1})", SPARK)))
+             .alias("rho"))
+    )
+    sums = per_bucket.groupBy("source").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr("cast(pow(2, 30 - rho) as bigint)")).alias("s_present"),
+    )
+    exact = occ.groupBy("source").agg(
+        F.countDistinct("h").alias("n_exact"))
+    est = (
+        sums.select(
+            "source",
+            (F.lit(HLL_M) - F.col("nb")).alias("v"),
+            (F.col("s_present")
+             + (F.lit(HLL_M) - F.col("nb")) * F.lit(1 << 30)).alias("s"),
+        )
+        .select(
+            "source", "v",
+            F.expr(f"{HLL_NUMER} / s").alias("raw"),
+        )
+        .select(
+            "source",
+            F.expr(
+                f"round(case when v > 0 and raw <= {2.5 * HLL_M} "
+                f"then {HLL_M} * ln({HLL_M} / cast(v as double)) "
+                f"else raw end, 3)"
+            ).alias("n_est"),
+        )
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            "n_est",
+            F.expr("round(abs(n_est - n_exact) / n_exact, 4)")
+            .alias("rel_err"),
+        )
+    )
+
+
+def approx_distinct_tokens_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    hv = K.polyhash("tok", DUCK)
+    rho = _hll_rho(f"((h >> {HLL_P}) & {(1 << HLL_W) - 1})", DUCK)
+    return f"""
+        with occ as (
+            select source, {_hll_mix(f'({hv})', DUCK)} as h
+            from (select source, unnest({toks}) as tok from documents)
+        ),
+        per_bucket as (
+            select source, h & {HLL_M - 1} as bucket, max({rho}) as rho
+            from occ group by source, h & {HLL_M - 1}
+        ),
+        sums as (
+            select source, count(*) as nb,
+                   cast(sum(cast(pow(2, 30 - rho) as bigint)) as bigint)
+                       as s_present
+            from per_bucket group by source
+        ),
+        est as (
+            select source, {HLL_M} - nb as v,
+                   {HLL_NUMER} / (s_present + ({HLL_M} - nb)
+                                  * cast({1 << 30} as bigint)) as raw
+            from sums
+        ),
+        fin as (
+            select source,
+                   round(case when v > 0 and raw <= {2.5 * HLL_M}
+                         then {HLL_M} * ln({HLL_M} / cast(v as double))
+                         else raw end, 3) as n_est
+            from est
+        ),
+        exact as (
+            select source, cast(count(distinct h) as bigint) as n_exact
+            from occ group by source
+        )
+        select exact.source, n_exact, n_est,
+               round(abs(n_est - n_exact) / n_exact, 4) as rel_err
+        from exact join fin using (source)
+    """
+
+
+# ---------------------------------------------------------------------------
 # BM25 scored retrieval (training-data curation by query relevance)
 # ---------------------------------------------------------------------------
 

@@ -573,6 +573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_passage_boilerplate": textstats.passage_boilerplate,
     "text_exact_substring_spans": textstats.exact_substring_spans,
     "text_remove_repeated_spans": textstats.remove_repeated_spans,
+    "text_approx_distinct": textstats.approx_distinct_tokens,
     "dedup_embedding_srp": similarity.srp_neardup_pairs,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
@@ -624,6 +625,7 @@ ORACLES: dict[str, str] = {
     "dedup_ingest_lifecycle": dedup.ingest_lifecycle_oracle(),
     "text_exact_substring_spans": textstats.exact_substring_spans_oracle(),
     "text_remove_repeated_spans": textstats.remove_repeated_spans_oracle(),
+    "text_approx_distinct": textstats.approx_distinct_tokens_oracle(),
     "bpe_merges": bpe.bpe_merges_oracle(),
     "bpe_encode_stats": bpe.bpe_encode_stats_oracle(),
     # the sketch-table path must reproduce the in-plan LSH row set

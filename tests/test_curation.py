@@ -240,3 +240,24 @@ def test_remove_repeated_spans_planted(spark, tmp_path):
     assert got[2].n_removed == 10 and got[2].n_tok == 14
     assert got[3].clean_text == rows[2][1]
     assert got[3].n_removed == 0
+
+
+def test_hll_raw_branch_accuracy(spark, tmp_path):
+    """With 20k distinct tokens the estimator leaves linear counting
+    (all 256 registers hit) and the raw HLL estimate must land within
+    the theoretical ~1.04/sqrt(m)=6.5% band (4 sigma ~ 26%; assert a
+    loose 15% so the test pins correctness, not luck)."""
+    from pdf_extract_spark.functions.textstats import (
+        approx_distinct_tokens,
+    )
+
+    text = " ".join(f"tk{i}x{i % 7}" for i in range(20_000))
+    d = tmp_path / "hll"
+    spark.createDataFrame(
+        [(1, text, "en", "srcA", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    r = approx_distinct_tokens(spark, str(d)).collect()[0]
+    assert r.n_exact == 20_000
+    assert abs(r.n_est - r.n_exact) / r.n_exact < 0.15
+    assert r.rel_err < 0.15
