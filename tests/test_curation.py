@@ -261,3 +261,47 @@ def test_hll_raw_branch_accuracy(spark, tmp_path):
     assert r.n_exact == 20_000
     assert abs(r.n_est - r.n_exact) / r.n_exact < 0.15
     assert r.rel_err < 0.15
+
+
+def test_hll_registers_merge_across_splits(spark, tmp_path):
+    """The 100 TB property that makes the sketch a sketch: registers
+    built on two disjoint corpus halves MERGE by per-register max into
+    exactly the registers of the whole corpus — so per-day/per-segment
+    sketches combine without re-reading data."""
+    import duckdb
+
+    from pdf_extract_spark.functions.textstats import (
+        HLL_M,
+        HLL_P,
+        HLL_W,
+        _hll_mix,
+        _hll_rho,
+    )
+    from pdf_extract_spark.functions import sqlkit as K
+
+    con = duckdb.connect()
+    con.sql("create view documents as select * from"
+            " '/root/testdata/sf0.001/documents.parquet'")
+    toks = K.tokens("text", K.DUCK)
+    hv = K.polyhash("tok", K.DUCK)
+    rho = _hll_rho(f"((h >> {HLL_P}) & {(1 << HLL_W) - 1})", K.DUCK)
+
+    def regs(pred):
+        rows = con.sql(f"""
+            with occ as (
+                select {_hll_mix(f'({hv})', K.DUCK)} as h
+                from (select doc_id, unnest({toks}) as tok
+                      from documents where {pred})
+            )
+            select h & {HLL_M - 1} as bucket, max({rho}) as rho
+            from occ group by 1
+        """).fetchall()
+        return dict(rows)
+
+    full = regs("true")
+    h1 = regs("doc_id % 2 = 0")
+    h2 = regs("doc_id % 2 = 1")
+    merged = dict(h1)
+    for b, r in h2.items():
+        merged[b] = max(merged.get(b, 0), r)
+    assert merged == full and full

@@ -53,8 +53,16 @@ def _oracle_names():
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, duck, name):
     from pdf_extract_spark.queries import ORACLES, QUERIES
+    from pdf_extract_spark.runtime import release_caches
 
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    try:
+        sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    finally:
+        # builder-persisted intermediates have caller-owned lifetime;
+        # the real harnesses (check_oracle, bench) release between
+        # queries — without this, 51 queries' caches accumulate in one
+        # session and the iterative BPE chain tips the test JVM's heap
+        release_caches()
     ddf = duck.sql(ORACLES[name]).df()
     assert _key(sdf) == _key(ddf)
 
