@@ -327,28 +327,19 @@ def neardup_stream(new_docs: DataFrame, sketch: DataFrame) -> DataFrame:
         JACCARD_TAU,
         LSH_BANDS,
         LSH_ROWS,
-        N_MINHASH,
-        SHINGLE_W,
+        banded_signatures,
     )
 
-    sh = K.shingle_hashes("text", SHINGLE_W, SPARK)
-    sized = new_docs.select(
-        F.col("doc_id").alias("new_id"), F.expr(sh).alias("new_sh")
-    ).withColumn("new_n_sh", F.expr(K.asize("new_sh", SPARK)))
-    sig = sized.select(
-        "new_id", "new_sh", "new_n_sh",
-        *[F.expr(K.minhash("new_sh", j, SPARK)).alias(f"mh{j}")
-          for j in range(N_MINHASH)],
+    # the stream side hashes through the SAME vectorized kernel +
+    # explode banding as every batch consumer (banded_signatures —
+    # mapInPandas is streaming-supported), so a stream doc's band keys
+    # are bit-identical to ingest-time sketch rows by construction
+    bands = banded_signatures(new_docs).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sh").alias("new_sh"),
+        F.col("n_sh").alias("new_n_sh"),
+        "band_idx", "band_key",
     )
-    bands = None
-    for bi in range(LSH_BANDS):
-        cols = [f"mh{j}" for j in range(bi * LSH_ROWS, (bi + 1) * LSH_ROWS)]
-        b = sig.select(
-            "new_id", "new_sh", "new_n_sh",
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(",", *cols).alias("band_key"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
     jac = K.jaccard("new_sh", "corpus_sh", "new_n_sh", "corpus_n_sh", SPARK)
     # per-band "do these two docs collide?" — recomputed from the joined
     # shingle sets; array_position finds the first colliding band
