@@ -782,6 +782,76 @@ def approx_distinct_tokens_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# unigram surprisal (CCNet-style LM quality signal)
+# ---------------------------------------------------------------------------
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring, CCNet-style (Wenzek et al. 2020,
+    public): score every document by its mean token surprisal under the
+    corpus's own unigram model — the perplexity-bucket filter that
+    separates fluent text (low surprisal) from gibberish / rare-vocab
+    noise (high) and degenerate boilerplate (very low).
+
+    Integer micro-nats end to end (the bm25 trick): each distinct
+    token's surprisal ``round(1e6 · ln(T / cnt))`` is ONE float op
+    rounded to a bigint, so per-doc sums are order-free and
+    cross-engine exact; the per-doc mean is integer division.
+
+    Scale shape at 100 TB: one vocab aggregation (token hash keys,
+    map-side partial), the 1-row total broadcast, the vocab broadcast
+    back to the exploded corpus (distinct tokens ≪ corpus), one doc_id
+    hash-agg. No sort, nothing quadratic."""
+    occ = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(K.tokens("text", SPARK))).alias("tok"))
+    vocab = occ.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t_total"))
+    scored = (
+        vocab.crossJoin(F.broadcast(total))
+        .select("tok", F.expr(
+            "cast(round(1000000 * ln(cast(t_total as double) / cnt))"
+            " as bigint)").alias("c_u"))
+    )
+    return (
+        occ.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("c_u").cast("bigint").alias("nll_u"),
+        )
+        .select(
+            "doc_id", "n_tok", "nll_u",
+            F.expr("nll_u DIV n_tok").alias("mean_nll_u"),
+        )
+    )
+
+
+def unigram_surprisal_oracle() -> str:
+    toks = K.tokens("text", DUCK)
+    return f"""
+        with occ as (
+            select doc_id, unnest({toks}) as tok from documents
+        ),
+        vocab as (
+            select tok, cast(count(*) as bigint) as cnt
+            from occ group by tok
+        ),
+        total as (select cast(sum(cnt) as bigint) as t_total from vocab),
+        scored as (
+            select tok,
+                   cast(round(1000000 * ln(cast(t_total as double) / cnt))
+                        as bigint) as c_u
+            from vocab cross join total
+        )
+        select doc_id,
+               cast(count(*) as bigint) as n_tok,
+               cast(sum(c_u) as bigint) as nll_u,
+               cast(sum(c_u) as bigint) // count(*) as mean_nll_u
+        from occ join scored using (tok)
+        group by doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # BM25 scored retrieval (training-data curation by query relevance)
 # ---------------------------------------------------------------------------
 

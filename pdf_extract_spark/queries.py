@@ -574,6 +574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_exact_substring_spans": textstats.exact_substring_spans,
     "text_remove_repeated_spans": textstats.remove_repeated_spans,
     "text_approx_distinct": textstats.approx_distinct_tokens,
+    "text_unigram_surprisal": textstats.unigram_surprisal,
     "dedup_embedding_srp": similarity.srp_neardup_pairs,
     "dedup_keep_canonical": dedup.dedup_keep_canonical,
     "simhash_fingerprints": dedup.simhash_fingerprints,
@@ -626,6 +627,7 @@ ORACLES: dict[str, str] = {
     "text_exact_substring_spans": textstats.exact_substring_spans_oracle(),
     "text_remove_repeated_spans": textstats.remove_repeated_spans_oracle(),
     "text_approx_distinct": textstats.approx_distinct_tokens_oracle(),
+    "text_unigram_surprisal": textstats.unigram_surprisal_oracle(),
     "bpe_merges": bpe.bpe_merges_oracle(),
     "bpe_encode_stats": bpe.bpe_encode_stats_oracle(),
     # the sketch-table path must reproduce the in-plan LSH row set
