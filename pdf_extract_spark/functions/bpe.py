@@ -122,10 +122,17 @@ def _bpe_chain(spark: SparkSession, sf_dir: str,
             "n", F.explode(F.expr(pair_list("s", SPARK))).alias("pa"))
         cnt = pairs.groupBy("pa").agg(
             F.sum("n").cast("bigint").alias("cnt"))
+        # localCheckpoint (eager, ONE row) is load-bearing: `best`
+        # feeds both the output union and the next iteration's rewrite,
+        # and without truncation the k-level union/crossJoin tree grows
+        # combinatorially — Catalyst planning alone reached minutes at
+        # sf0.1 (measured 52-167 s; 3.6 s with the checkpoint).  The
+        # materialization itself is the natural per-merge job, same
+        # O(1)-row driver cost as the CC fixed-point check.
         best = (
             cnt.orderBy(F.col("cnt").desc(), "pa").limit(1)
             .select(F.lit(step).cast("bigint").alias("step"), "pa", "cnt")
-        )
+        ).localCheckpoint()
         out = best if out is None else out.unionByName(best)
         w = w.crossJoin(F.broadcast(best.select(F.col("pa").alias("_pa")))) \
             .select("word", "n",
