@@ -201,3 +201,55 @@ def test_jpeg_roundtrip_property(bw, bh, progressive, rng):
     got = decode_jpeg_luma(data)
     assert got is not None and (got[0], got[1]) == (w, h)
     assert np.abs(np.array(got[2], dtype=float) - img).max() <= 2.0
+
+
+# ---------------------------------------------------------------------------
+# vectorized signature kernel vs the DuckDB oracle fragments
+# ---------------------------------------------------------------------------
+
+_token_alpha = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters=" ",
+        exclude_categories=("Cs",),  # no lone surrogates
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(st.lists(_token_alpha, min_size=1, max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_sigkernel_matches_duckdb_on_random_unicode(tokens):
+    """Property form of the kernel↔oracle equality: for ARBITRARY
+    unicode token streams, the numpy kernel's shingle hashes, sizes and
+    min-wise values equal the DuckDB HOF fragments bit-for-bit (the
+    pair the driver's gate actually compares)."""
+    import duckdb
+
+    from pdf_extract_spark.functions import sqlkit as K
+    from pdf_extract_spark.functions.sigkernel import batch_signatures
+
+    text = " ".join(tokens)
+    sh_lists, n_sh, mh_cols, _ = batch_signatures(
+        [text], 3, want_minhash=True, want_simhash=False)
+
+    con = duckdb.connect()
+    sh = K.shingle_hashes("text", 3, K.DUCK)
+    row = con.execute(
+        f"""select {sh} as sh,
+                   {K.asize('sh0.sh', K.DUCK)} as n_sh,
+                   {K.minhash('sh0.sh', 0, K.DUCK)} as mh0,
+                   {K.minhash('sh0.sh', 7, K.DUCK)} as mh7
+            from (select ? as text) t,
+                 lateral (select {sh} as sh) sh0""",
+        [text],
+    ).fetchone()
+    # sh as a SET: DuckDB's list_distinct does not preserve
+    # first-occurrence order (sqlkit's contract: arrays only ever feed
+    # order-insensitive reductions). Sizes and min-wise values are
+    # exact.
+    assert sorted(sh_lists[0]) == sorted(row[0])
+    assert len(sh_lists[0]) == len(row[0])  # same dedup, no collisions lost
+    assert n_sh[0] == row[1]
+    assert int(mh_cols[0][0]) == row[2]
+    assert int(mh_cols[7][0]) == row[3]

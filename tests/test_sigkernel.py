@@ -80,8 +80,11 @@ def test_kernel_matches_duckdb_on_short_docs(spark):
     from pdf_extract_spark.functions.sigkernel import signature_frame
 
     docs = spark.createDataFrame(SHORT_DOCS, "doc_id long, text string")
-    fast = _collect(signature_frame(docs, 3, minhash=True),
-                    ["doc_id", "sh", "n_sh", "mh0", "mh7"])
+    fast = [
+        (r[0], sorted(r[1]), *r[2:])
+        for r in _collect(signature_frame(docs, 3, minhash=True),
+                          ["doc_id", "sh", "n_sh", "mh0", "mh7"])
+    ]
     con = duckdb.connect()
     rows = ", ".join("(%d, '%s')" % (i, t) for i, t in SHORT_DOCS)
     sh = K.shingle_hashes("text", 3, K.DUCK)
@@ -94,7 +97,10 @@ def test_kernel_matches_duckdb_on_short_docs(spark):
                {K.minhash('sh', 7, K.DUCK)} as mh7
         from z order by doc_id
     """).fetchall()
-    want = sorted((r[0], list(r[1]), r[2], r[3], r[4]) for r in got)
+    # sh compares as a SET: DuckDB list_distinct does not preserve
+    # first-occurrence order (registered queries only ever reduce sh
+    # order-insensitively; the ORDER pin is kernel == Spark HOF above)
+    want = sorted((r[0], sorted(r[1]), r[2], r[3], r[4]) for r in got)
     assert fast == want
 
 
