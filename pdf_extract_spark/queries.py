@@ -53,7 +53,14 @@ Grouping (SURVEY.md §2 ids in parens):
     full incremental-ingest loop, oracle-pinned end to end),
     bpe_merges / bpe_encode_stats (distributed BPE merge training over
     the corpus vocabulary + the per-document subword-fertility apply
-    step — functions/bpe.py)
+    step — functions/bpe.py),
+    text_exact_substring_spans / text_remove_repeated_spans (Lee-et-al
+    exact-substring dedup as positional k-gram marking: maximal
+    repeated token spans + the span-removal rewrite),
+    text_approx_distinct (deterministic cross-engine HyperLogLog —
+    engine-native approx-distinct builtins are not oracle-able),
+    text_unigram_surprisal (CCNet-style corpus-LM quality scoring in
+    integer micro-nats)
 
   scalar-function analogues (SURVEY.md §2.3)
     text_normalize       (F1/F2) ordered normalize/repair chain
