@@ -167,8 +167,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str,
     toks = K.tokens("text", SPARK)
     words = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(toks)).alias("word"))
+    # no forced broadcast: the segmented vocab is usually the small
+    # side, but an open web vocab is unbounded — AQE decides by
+    # measured size (same policy as dedup_keep_canonical's loser set)
     return (
-        words.join(F.broadcast(seg), "word")
+        words.join(seg, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tok"),

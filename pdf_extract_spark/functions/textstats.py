@@ -798,9 +798,10 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine exact; the per-doc mean is integer division.
 
     Scale shape at 100 TB: one vocab aggregation (token hash keys,
-    map-side partial), the 1-row total broadcast, the vocab broadcast
-    back to the exploded corpus (distinct tokens ≪ corpus), one doc_id
-    hash-agg. No sort, nothing quadratic."""
+    map-side partial), the 1-row total broadcast, the vocab joined back
+    to the exploded corpus (AQE picks broadcast when the vocab measures
+    small; an open web vocab is unbounded, so the hint is not forced),
+    one doc_id hash-agg. No sort, nothing quadratic."""
     occ = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.expr(K.tokens("text", SPARK))).alias("tok"))
     vocab = occ.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -811,8 +812,13 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(round(1000000 * ln(cast(t_total as double) / cnt))"
             " as bigint)").alias("c_u"))
     )
+    # NO forced broadcast on the vocab side: a web-scale OPEN vocab
+    # (URLs, typos, code) is not bounded like a benchmark's — AQE picks
+    # broadcast when the measured size allows, shuffle-hash otherwise;
+    # production runs also min-count-filter the LM, which is what
+    # bounds it in CCNet itself
     return (
-        occ.join(F.broadcast(scored), "tok")
+        occ.join(scored, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tok"),
