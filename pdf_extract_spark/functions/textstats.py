@@ -447,11 +447,16 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sigkernel import signature_frame
 
-    g = signature_frame(_docs(spark, sf_dir), EXACT_W,
-                        minhash=False, distinct=False, pad_short=False)
-    occ = g.select(
+    from ..runtime import track_cache
+
+    # persisted: occ feeds the gram-frequency agg AND the mark join —
+    # without it the kernel hashes the corpus once per branch
+    occ = track_cache(signature_frame(
+        _docs(spark, sf_dir), EXACT_W,
+        minhash=False, distinct=False, pad_short=False,
+    ).select(
         "doc_id", F.posexplode("sh").alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"))
     cnt = occ.groupBy("h").agg(F.count("*").alias("c"))
     marked = occ.join(cnt, "h").filter(F.col("c") > 1)
     win = Window.partitionBy("doc_id").orderBy("pos")
@@ -536,12 +541,15 @@ def remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sigkernel import signature_frame
 
+    from ..runtime import track_cache
+
     docs = _docs(spark, sf_dir)
-    g = signature_frame(docs, EXACT_W,
-                        minhash=False, distinct=False, pad_short=False)
-    occ = g.select(
+    # persisted for the same two-branch reason as exact_substring_spans
+    occ = track_cache(signature_frame(
+        docs, EXACT_W, minhash=False, distinct=False, pad_short=False,
+    ).select(
         "doc_id", F.posexplode("sh").alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "h"))
     cnt = occ.groupBy("h").agg(F.count("*").alias("c"))
     # covered token positions: each marked gram start p covers
     # p .. p+W-1; explode the small per-gram range and dedup
