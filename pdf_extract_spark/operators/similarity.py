@@ -350,17 +350,13 @@ def _assign_cte(src: str, cent: str, out_cols: str, rn_cap: int,
     )"""
 
 
-def _ivf_trained_sql(d: str, table: str) -> str:
-    """The whole trained-IVF pipeline as ONE dialect-parameterized SQL
-    text: sampled k-means (2 unrolled Lloyd iterations on a deterministic
-    sample, exact integer math throughout) → full-corpus cell assignment
-    → multi-probe top-k. The Spark query and the DuckDB oracle are the
-    same text modulo dialect, so the quantizer itself is oracle-checked,
-    not just the final search."""
+def _kmeans_ctes(d: str, table: str) -> str:
+    """Shared WITH-prefix: quantized vectors, the deterministic sample,
+    and 2 unrolled Lloyd iterations ending at ``cent2`` — used by both
+    the trained-IVF search and the full assignment query."""
     vd = K.as_double_array("embedding", d)
     centroid = _centroid_update(d)
     mean = K.xform("sum_arr", "s -> cast(round((s * 1.0) / cnt) as bigint)", d)
-    cos = K.cosine("qe.v", "ce.v", d)
     lloyd = ""
     prev = "cent0"
     for it in (1, 2):
@@ -372,8 +368,7 @@ def _ivf_trained_sql(d: str, table: str) -> str:
         ),
         cent{it} as (select cell, {mean} as qv from c{it}s)"""
         prev = f"cent{it}"
-    return f"""
-        with e as (
+    return f"""e as (
             select vec_id, {vd} as v, {_qv(vd, d)} as qv from {table}
         ),
         samp as (select vec_id, qv from e where vec_id % {IVF_SAMPLE_STRIDE} = 0),
@@ -384,7 +379,19 @@ def _ivf_trained_sql(d: str, table: str) -> str:
                        qv
                 from samp
             ) t where cell < {IVF_K}
-        ){lloyd},
+        ){lloyd}"""
+
+
+def _ivf_trained_sql(d: str, table: str) -> str:
+    """The whole trained-IVF pipeline as ONE dialect-parameterized SQL
+    text: sampled k-means (2 unrolled Lloyd iterations on a deterministic
+    sample, exact integer math throughout) → full-corpus cell assignment
+    → multi-probe top-k. The Spark query and the DuckDB oracle are the
+    same text modulo dialect, so the quantizer itself is oracle-checked,
+    not just the final search."""
+    cos = K.cosine("qe.v", "ce.v", d)
+    return f"""
+        with {_kmeans_ctes(d, table)},
         cells as {_assign_cte('e', 'cent2', 'vec_id', 1, d)},
         probe as {_assign_cte('e', 'cent2', 'vec_id', IVF_NPROBE, d,
                               f'where s.vec_id % {QUERY_STRIDE} = 0')},
@@ -426,3 +433,40 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_trained_oracle() -> str:
     return _ivf_trained_sql(DUCK, "embeddings")
+
+
+def _kmeans_assign_sql(d: str, table: str) -> str:
+    """Full-corpus k-means cluster assignment under the trained
+    quantizer: (vec_id, cell, l2q) — nearest centroid with the exact
+    integer squared-L2 it won at."""
+    return f"""
+        with {_kmeans_ctes(d, table)}
+        select vec_id, cell, l2q from (
+            select s.vec_id as vec_id, c.cell as cell,
+                   {_l2q('s.qv', 'c.qv', d)} as l2q,
+                   row_number() over (
+                       partition by s.vec_id
+                       order by {_l2q('s.qv', 'c.qv', d)} asc, c.cell asc
+                   ) as rn
+            from e s cross join cent2 c
+        ) t where rn = 1
+    """
+
+
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: every embedding's trained-k-means cluster — the
+    corpus-partitioning step topic/route pipelines run after training a
+    coarse quantizer (the same ``cent2`` table the trained-IVF search
+    probes, so assignments and search cells agree by construction).
+
+    Scale shape: the Lloyd chain touches only the deterministic sample;
+    the full pass is one broadcast nested loop against IVF_K rows, one
+    per-vector rank over IVF_K candidates — scan-local, no shuffle of
+    the corpus."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .createOrReplaceTempView("kmeans_embeddings_src")
+    return spark.sql(_kmeans_assign_sql(SPARK, "kmeans_embeddings_src"))
+
+
+def embedding_kmeans_assign_oracle() -> str:
+    return _kmeans_assign_sql(DUCK, "embeddings")

@@ -588,6 +588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
     "ann_ivf_topk": similarity.ann_ivf_topk,
     "ann_ivf_trained": similarity.ann_ivf_trained,
+    "embedding_kmeans_assign": similarity.embedding_kmeans_assign,
     "text_token_stats": textstats.token_stats,
     "text_quality": textstats.quality_scores,
     "text_langid": textstats.langid_heuristic,
@@ -649,6 +650,7 @@ ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": similarity.ann_bruteforce_topk_oracle(),
     "ann_ivf_topk": similarity.ann_ivf_topk_oracle(),
     "ann_ivf_trained": similarity.ann_ivf_trained_oracle(),
+    "embedding_kmeans_assign": similarity.embedding_kmeans_assign_oracle(),
     "text_token_stats": textstats.token_stats_oracle(),
     "text_quality": textstats.quality_scores_oracle(),
     "text_langid": textstats.langid_heuristic_oracle(),

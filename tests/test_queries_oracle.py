@@ -73,8 +73,8 @@ def test_registry_covers_oracles():
     assert set(ORACLES) <= set(QUERIES)
     assert "extract_spans_synth" in QUERIES
     # README's registry-count claim — update BOTH when adding queries
-    assert len(QUERIES) == 54
-    assert len(ORACLES) == 52
+    assert len(QUERIES) == 55
+    assert len(ORACLES) == 53
     # every non-oracle query is one of the two rows-only extraction
     # pipelines, never a silently-unchecked operator
     assert set(QUERIES) - set(ORACLES) == {
